@@ -1,0 +1,190 @@
+"""Streaming transform compressors: noop, rle, mtf, encode.
+
+Formats mirror the reference byte-for-byte:
+  - NoopCompressor (compressors/NoopCompressor.hpp): copy-through.
+  - RunLengthEncoder (compressors/RunLengthEncoder.hpp:16-50): each run of
+    the same character of length >= 2 is emitted as the character twice
+    followed by vbyte(run_length - 2 + offset).
+  - MTFCompressor (compressors/MTFCompressor.hpp:17-68): move-to-front over
+    a 256-entry table initialized to identity.
+  - LiteralEncoder (compressors/LiteralEncoder.hpp:12-42): per-byte
+    coder.encode(c, literal_r); decode until eof.
+
+All are implemented vectorized (numpy) on the host with JAX device twins in
+tudocomp_tpu.ops for the block-parallel runtime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..base import Compressor
+from ..io.bitio import BitReader, BitWriter
+from ..io.inout import Input, Output
+from ..io.vbyte import vbyte_decode_stream, vbyte_encode_array
+from ..literals import ViewLiterals
+from ..meta import Meta
+from ..ranges import literal_r
+from ..stats.phase import StatPhase
+
+
+class NoopCompressor(Compressor):
+    @classmethod
+    def meta(cls) -> Meta:
+        m = Meta("compressor", "noop")
+        m.option("mode").dynamic("stream")
+        m.option("debug").dynamic(False)
+        return m
+
+    def compress(self, inp: Input, out: Output) -> None:
+        out.write(inp.as_array())
+
+    def decompress(self, inp: Input, out: Output) -> None:
+        out.write(inp.as_array())
+
+
+def rle_encode(data: np.ndarray, offset: int = 0) -> np.ndarray:
+    """Vectorized RLE matching rle_encode (RunLengthEncoder.hpp:16-32)."""
+    n = len(data)
+    if n == 0:
+        return data
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(data[1:], data[:-1], out=change[1:])
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.append(run_starts, n))
+    chars = data[run_starts]
+    # runs of length 1 -> char; runs >= 2 -> char char vbyte(len-2+offset)
+    is_run = run_lens >= 2
+    vbytes = vbyte_encode_array(run_lens[is_run] - 2 + offset)
+    # assemble: per run, 1 or 2 chars + optional vbyte
+    out_lens = np.where(is_run, 2, 1).astype(np.int64)
+    vb_lens = np.zeros(len(run_starts), dtype=np.int64)
+    vb_lens[is_run] = vbytes.lengths
+    total = int(out_lens.sum() + vb_lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    piece_lens = out_lens + vb_lens
+    starts = np.cumsum(piece_lens) - piece_lens
+    out[starts] = chars
+    second = starts[is_run] + 1
+    out[second] = chars[is_run]
+    # scatter vbyte payloads
+    vb_starts_out = starts[is_run] + 2
+    if len(vb_starts_out):
+        idx = np.repeat(vb_starts_out, vbytes.lengths) + vbytes.intra_offsets
+        out[idx] = vbytes.bytes
+    return out
+
+
+def rle_decode(data: np.ndarray, offset: int = 0) -> np.ndarray:
+    """Vectorized RLE decode matching rle_decode (RunLengthEncoder.hpp:37-50)."""
+    n = len(data)
+    if n == 0:
+        return data
+    # Parse sequentially-structured stream vectorized: a double character
+    # marks a run header followed by a vbyte. We walk the stream in passes:
+    # find all positions where data[i] == data[i-1] — but only those not
+    # inside a vbyte payload and not the second char of a previous pair.
+    # Since vbyte payloads can contain arbitrary bytes, do a scan in chunks
+    # using python over run headers only (count of headers ~ number of runs).
+    out_parts = []
+    i = 0
+    prev = -1
+    # fast path: scan for next potential pair with numpy
+    while i < n:
+        # find next j >= i with data[j] == prev_char at j (pair detection)
+        eq = np.flatnonzero(data[i:-1] == data[i + 1 : ]) if i < n - 1 else []
+        if len(eq) == 0:
+            out_parts.append(data[i:])
+            break
+        j = i + int(eq[0])  # data[j] == data[j+1]
+        out_parts.append(data[i : j + 2])
+        c = data[j]
+        # vbyte follows at j+2
+        run, consumed = vbyte_decode_stream(data, j + 2)
+        run -= offset
+        if run > 0:
+            out_parts.append(np.full(run, c, dtype=np.uint8))
+        i = j + 2 + consumed
+    return np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint8)
+
+
+class RunLengthEncoder(Compressor):
+    @classmethod
+    def meta(cls) -> Meta:
+        m = Meta("compressor", "rle", "Run Length Encoding Compressor")
+        m.option("offset").dynamic(0)
+        return m
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.offset = env.option("offset").as_integer()
+
+    def compress(self, inp: Input, out: Output) -> None:
+        with StatPhase("rle_encode"):
+            out.write(rle_encode(inp.as_array(), self.offset))
+
+    def decompress(self, inp: Input, out: Output) -> None:
+        out.write(rle_decode(inp.as_array(), self.offset))
+
+
+def mtf_encode(data: np.ndarray) -> np.ndarray:
+    """MTF encode. Host path: exact table simulation in numpy-accelerated
+    chunks; see tudocomp_tpu.ops.mtf for the O(n*sigma) data-parallel device
+    formulation (rank = #distinct chars since previous occurrence)."""
+    from ..ops.mtf import mtf_encode_host
+
+    return mtf_encode_host(data)
+
+
+def mtf_decode(data: np.ndarray) -> np.ndarray:
+    from ..ops.mtf import mtf_decode_host
+
+    return mtf_decode_host(data)
+
+
+class MTFCompressor(Compressor):
+    @classmethod
+    def meta(cls) -> Meta:
+        return Meta("compressor", "mtf", "Move To Front Compressor")
+
+    def compress(self, inp: Input, out: Output) -> None:
+        with StatPhase("mtf_encode"):
+            out.write(mtf_encode(inp.as_array()))
+
+    def decompress(self, inp: Input, out: Output) -> None:
+        out.write(mtf_decode(inp.as_array()))
+
+
+class LiteralEncoder(Compressor):
+    @classmethod
+    def meta(cls) -> Meta:
+        m = Meta(
+            "compressor", "encode", "Simply encodes the input's individual characters."
+        )
+        m.option("coder").templated("coder", None)
+        return m
+
+    def compress(self, inp: Input, out: Output) -> None:
+        data = inp.as_array()
+        coder_cls, coder_env = self.env.algorithm_for_option("coder")
+        w = BitWriter()
+        enc = coder_cls.Encoder(coder_env, w, ViewLiterals(data))
+        with StatPhase("encode"):
+            enc.encode_array(data, literal_r)
+            enc.finalize()
+        out.write(w.getvalue())
+
+    def decompress(self, inp: Input, out: Output) -> None:
+        coder_cls, coder_env = self.env.algorithm_for_option("coder")
+        r = BitReader(inp.as_bytes())
+        dec = coder_cls.Decoder(coder_env, r)
+        width = dec.literal_fixed_width()
+        if width:
+            count = max(0, (r._valid - r.pos)) // width
+            out.write(dec.decode_array(count, literal_r).astype(np.uint8))
+            return
+        chunks = []
+        while not dec.eof():
+            chunks.append(dec.decode(literal_r) & 0xFF)
+        out.write(np.array(chunks, dtype=np.uint8))
