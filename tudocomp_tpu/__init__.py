@@ -73,14 +73,19 @@ def register_all(registry: Registry = REGISTRY) -> Registry:
         "compressors.lfs",
         "generators.generators",
     ):
-        try:
-            import importlib
+        import importlib
 
+        try:
             mod = importlib.import_module(f".{modname}", __package__)
-            if hasattr(mod, "register"):
-                mod.register(registry)
-        except ImportError:
-            pass
+        except ModuleNotFoundError as e:
+            # only tolerate the module itself not existing yet (families are
+            # built incrementally); a broken import inside a module that does
+            # exist must surface, not half-register
+            if e.name != f"{__package__}.{modname}":
+                raise
+            continue
+        if hasattr(mod, "register"):
+            mod.register(registry)
 
     if registry is REGISTRY:
         _registered = True

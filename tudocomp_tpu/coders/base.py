@@ -11,9 +11,73 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..io.bitio import BitReader, BitWriter, bits_for
+from dataclasses import dataclass
+from typing import Optional
+
+from ..io.bitio import BitReader, BitWriter, bits_for, bits_for_arr
 from ..meta import Algorithm, Env
 from ..ranges import BitRange, Range
+
+
+@dataclass
+class TokenStream:
+    """Flattened (value, nbits) tokens for n logical values.
+
+    `counts` gives tokens-per-value (None = exactly one token per value);
+    multi-token codes (gamma = 2 tokens, delta = 3) flatten row-major."""
+
+    values: np.ndarray  # uint64 token values
+    nbits: "np.ndarray | int"  # per-token widths (or scalar)
+    counts: Optional[np.ndarray]  # tokens per logical value, None -> 1
+
+    def n_values(self) -> int:
+        if self.counts is None:
+            return len(self.values)
+        return len(self.counts)
+
+    def expand(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (values, nbits, counts) with nbits/counts materialized."""
+        nb = self.nbits
+        if np.isscalar(nb):
+            nb = np.full(len(self.values), nb, dtype=np.int64)
+        cnt = self.counts
+        if cnt is None:
+            cnt = np.ones(len(self.values), dtype=np.int64)
+        return self.values, nb, cnt
+
+
+def write_interleaved(w: BitWriter, streams: list[TokenStream]) -> None:
+    """Write several per-value token columns interleaved row-wise.
+
+    For n logical values and streams s0..sk, emits s0's tokens for value 0,
+    then s1's for value 0, ..., then s0's for value 1, etc. — reproducing
+    the scalar loop `for i: enc.encode(a[i], ..); enc.encode(b[i], ..)`."""
+    parts = [s.expand() for s in streams]
+    n = parts[0][2].shape[0] if parts else 0
+    for v, nb, cnt in parts:
+        assert cnt.shape[0] == n
+    total_counts = sum(p[2] for p in parts)
+    row_starts = np.cumsum(total_counts) - total_counts  # exclusive
+    all_vals = []
+    all_bits = []
+    all_pos = []
+    for si, (v, nb, cnt) in enumerate(parts):
+        # position of this stream's tokens: row_start + offset of earlier
+        # streams in the same row + intra-stream token index
+        before = sum(parts[sj][2] for sj in range(si)) if si else 0
+        starts = row_starts + (before if si else 0)
+        tok_rows = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        intra = np.arange(len(v), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        all_pos.append(starts[tok_rows] + intra)
+        all_vals.append(v)
+        all_bits.append(nb)
+    pos = np.concatenate(all_pos)
+    vals = np.concatenate(all_vals)
+    bits = np.concatenate(all_bits)
+    order = np.argsort(pos, kind="stable")
+    w.write_ints(vals[order], bits[order])
 
 
 class Encoder(Algorithm):
@@ -39,6 +103,24 @@ class Encoder(Algorithm):
     def finalize(self) -> None:
         """Called after the last encode (destructor analogue). Consuming
         coders (arithmetic/SLE) flush their buffers here."""
+
+    def tokens(self, values, r) -> "TokenStream | None":
+        """Token representation of encoding `values` under range `r`.
+
+        `r` is a Range, or a numpy array of per-value maxima meaning
+        Range(0, r[i]) (the growing-range pattern of lz78/lzw). Returns a
+        TokenStream, or None if this coder has no vectorizable token form
+        (caller falls back to scalar encode calls). Token streams from
+        several columns can be interleaved per-row with write_interleaved,
+        reproducing the exact scalar interleaving of the reference."""
+        values = np.asarray(values, dtype=np.uint64)
+        if isinstance(r, np.ndarray):
+            return TokenStream(values, bits_for_arr(r), None)
+        if isinstance(r, BitRange):
+            return TokenStream(values.astype(np.uint64), 1, None)
+        return TokenStream(
+            values - np.uint64(r.min), bits_for(r.delta), None
+        )
 
 
 class Decoder(Algorithm):

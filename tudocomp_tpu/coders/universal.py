@@ -48,6 +48,22 @@ class ASCIICoder:
                 for v in values:
                     self.encode(int(v), r)
 
+        def tokens(self, values, r):
+            values = np.asarray(values, dtype=np.uint64)
+            if isinstance(r, BitRange):
+                from .base import TokenStream
+
+                return TokenStream(
+                    np.where(values != 0, np.uint64(ord("1")), np.uint64(ord("0"))),
+                    8,
+                    None,
+                )
+            if isinstance(r, LiteralRange):
+                from .base import TokenStream
+
+                return TokenStream(values & np.uint64(0xFF), 8, None)
+            return None  # decimal text form: scalar fallback
+
     class Decoder(Decoder):
         def decode(self, r: Range) -> int:
             if isinstance(r, BitRange):
@@ -98,6 +114,17 @@ class EliasGammaCoder:
             else:
                 self.w.write_elias_gammas(values)
 
+        def tokens(self, values, r):
+            if isinstance(r, BitRange):
+                return super().tokens(values, r)
+            from .base import TokenStream
+
+            values = np.asarray(values, dtype=np.uint64)
+            nb = bits_for_arr(values)
+            vals2 = np.stack([np.ones(len(values), np.uint64), values], 1).ravel()
+            bits2 = np.stack([nb + 1, nb], 1).ravel()
+            return TokenStream(vals2, bits2, np.full(len(values), 2, np.int64))
+
     class Decoder(Decoder):
         def literal_fixed_width(self):
             return None
@@ -132,6 +159,20 @@ class EliasDeltaCoder:
                 super().encode_array(values, r)
             else:
                 self.w.write_elias_deltas(values)
+
+        def tokens(self, values, r):
+            if isinstance(r, BitRange):
+                return super().tokens(values, r)
+            from .base import TokenStream
+
+            values = np.asarray(values, dtype=np.uint64)
+            nb = bits_for_arr(values)
+            nnb = bits_for_arr(nb)
+            vals3 = np.stack(
+                [np.ones(len(values), np.uint64), nb.astype(np.uint64), values], 1
+            ).ravel()
+            bits3 = np.stack([nnb + 1, nnb, nb], 1).ravel()
+            return TokenStream(vals3, bits3, np.full(len(values), 3, np.int64))
 
     class Decoder(Decoder):
         def literal_fixed_width(self):
@@ -168,6 +209,11 @@ class TernaryCoder:
                 return
             for v in np.asarray(values).ravel():
                 self.w.write_ternary(int(v))
+
+        def tokens(self, values, r):
+            if isinstance(r, BitRange):
+                return super().tokens(values, r)
+            return None
 
     class Decoder(Decoder):
         def literal_fixed_width(self):

@@ -179,6 +179,9 @@ class LiteralEncoder(Compressor):
         coder_cls, coder_env = self.env.algorithm_for_option("coder")
         r = BitReader(inp.as_bytes())
         dec = coder_cls.Decoder(coder_env, r)
+        if hasattr(dec, "decode_literals_until_eof"):
+            out.write(dec.decode_literals_until_eof())
+            return
         width = dec.literal_fixed_width()
         if width:
             count = max(0, (r._valid - r.pos)) // width

@@ -1,0 +1,80 @@
+"""ctypes loader for the C++ host runtime (native/tdc_native.cpp).
+
+Builds the shared library on demand with g++ (cached next to the source).
+Every entry point has a pure-Python fallback in the calling module, so the
+framework degrades gracefully if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libtdc_native.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "tdc_native.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO_PATH, _SRC_PATH],
+            capture_output=True,
+            timeout=120,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(
+        _SRC_PATH
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+
+    lib.tdc_lz78_parse.restype = i64
+    lib.tdc_lz78_parse.argtypes = [u8p, i64, u32p, u8p]
+    lib.tdc_lz78_decode.restype = i64
+    lib.tdc_lz78_decode.argtypes = [u32p, u8p, i64, u8p, i64]
+    lib.tdc_lzw_parse.restype = i64
+    lib.tdc_lzw_parse.argtypes = [u8p, i64, u32p]
+    lib.tdc_lzw_decode.restype = i64
+    lib.tdc_lzw_decode.argtypes = [u32p, i64, u8p, i64]
+    lib.tdc_mtf_decode.restype = None
+    lib.tdc_mtf_decode.argtypes = [u8p, i64, u8p]
+    lib.tdc_mtf_encode.restype = None
+    lib.tdc_mtf_encode.argtypes = [u8p, i64, u8p]
+    lib.tdc_huffman_decode.restype = i64
+    lib.tdc_huffman_decode.argtypes = [
+        u8p,
+        i64,
+        i64,
+        u8p,
+        u8p,
+        ctypes.c_int32,
+        u8p,
+        i64,
+    ]
+    _lib = lib
+    return _lib
