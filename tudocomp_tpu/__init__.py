@@ -8,6 +8,8 @@ JAX device meshes, while the modular compressor/coder pipeline, the
 algorithm-string DSL and the bitstream formats match the reference.
 """
 
+__version__ = "0.1.0"
+
 from .base import Compressor, Generator
 from .io.bitio import BitReader, BitWriter, bits_for
 from .io.inout import Input, Output
