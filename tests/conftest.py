@@ -2,9 +2,23 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (SURVEY.md §4 test plan item f).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# The environment's axon sitecustomize registers a remote-TPU PJRT plugin at
+# interpreter start and forces jax_platforms="axon,cpu" via jax.config —
+# env vars alone can't undo that, so override the config here (backends are
+# not initialized yet when conftest runs). Subprocesses spawned by tests
+# inherit PALLAS_AXON_POOL_IPS="" which disables the registration entirely.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

@@ -1,0 +1,290 @@
+"""Device-side canonical Huffman: the flagship TPU encode pipeline.
+
+Jittable end-to-end block encoder producing byte streams identical to the
+host HuffmanCoder literal path (coders/huffman.py, format of
+include/tudocomp/coders/HuffmanCoder.hpp): per block
+  flag bit | table (compressed_int longest, numl[], alphabet, symbols) | codes
+
+Pipeline stages, all vmapped over blocks [B, bs] u8:
+  1. histogram           scatter-add into [B, 256]
+  2. code lengths        Moffat/Katajainen in-place minimum-redundancy
+                         algorithm (3 passes) under lax.fori_loop; pass 3
+                         (leaf depths) is vectorized via depth histograms.
+                         Tie-breaking matches the host heap builder
+                         (prefer leaves, FIFO internals), so lengths agree
+                         bit-exactly with coders/huffman.py:gen_codelengths.
+  3. canonical codes     firstcode reverse scan + (length, symbol) sort
+  4. tokenization        fixed [521 + bs] (value, nbits<=32) token slots
+  5. bit packing         ops.bitpack scatter arena
+
+Block size is capped at 2 MiB: a depth-d code requires a block of at least
+Fibonacci(d+1) symbols, so bs <= 2^21 keeps code lengths <= 31 bits and
+every token within the 32-bit pack limit.
+
+Shared-table mode (for the multi-chip DP runtime): histograms are psum'd
+over the mesh axis so every block encodes with one global table — the
+"Huffman tables broadcast over ICI" design of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bitpack import pack_tokens
+
+MAX_BLOCK = 1 << 21  # keeps max code length <= 31 (Fibonacci bound)
+MAX_LEN = 32  # code length slots 1..MAX_LEN
+_BIG = jnp.int32(0x3FFFFFFF)
+
+__all__ = [
+    "block_histogram",
+    "code_lengths",
+    "canonical_codes",
+    "encode_blocks",
+    "huffman_table_tokens",
+    "MAX_BLOCK",
+]
+
+
+def block_histogram(block: jnp.ndarray) -> jnp.ndarray:
+    """[bs] u8 -> [256] i32 histogram."""
+    return jnp.zeros(256, jnp.int32).at[block.astype(jnp.int32)].add(1)
+
+
+def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
+    """Per-symbol Huffman code lengths from a [256] histogram.
+
+    Returns [256] i32; 0 for absent symbols. Degenerate alphabets
+    (sigma <= 1) return all zeros — callers emit the flag-0 raw format.
+    """
+    hist = hist.astype(jnp.int32)
+    present = hist > 0
+    sigma = jnp.sum(present.astype(jnp.int32))
+
+    # sort effective symbols ascending by (count, symbol); absent -> +inf key
+    key = jnp.where(present, hist, _BIG)
+    sym = jnp.arange(256, dtype=jnp.int32)
+    sorted_key, sorted_sym = jax.lax.sort((key, sym), num_keys=2)
+
+    m = sigma  # effective alphabet size (dynamic)
+    A0 = sorted_key
+
+    # ---- phase 1: weights -> parent pointers (Moffat fig. 1, first pass)
+    A_init = A0.at[0].add(A0[1])
+
+    def p1_body(t, state):
+        A, root, leaf = state
+        active = t < m - 1
+
+        def pick(A, root, leaf, allow_root_lt_t):
+            leaf_c = jnp.minimum(leaf, 255)
+            root_ok = jnp.where(allow_root_lt_t, root < t, True)
+            use_root = (leaf >= m) | (root_ok & (A[root] < A[leaf_c]))
+            val = jnp.where(use_root, A[root], A[leaf_c])
+            A = jnp.where(use_root, A.at[root].set(t), A)
+            root = jnp.where(use_root, root + 1, root)
+            leaf = jnp.where(use_root, leaf, leaf + 1)
+            return val, A, root, leaf
+
+        v1, A1, root1, leaf1 = pick(A, root, leaf, False)
+        A1 = A1.at[t].set(v1)
+        v2, A2, root2, leaf2 = pick(A1, root1, leaf1, True)
+        A2 = A2.at[t].add(v2)
+
+        A = jnp.where(active, A2, A)
+        root = jnp.where(active, root2, root)
+        leaf = jnp.where(active, leaf2, leaf)
+        return A, root, leaf
+
+    A, _, _ = jax.lax.fori_loop(
+        1, 255, p1_body, (A_init, jnp.int32(0), jnp.int32(2))
+    )
+
+    # ---- phase 2: parent pointers -> internal depths (right to left)
+    A = A.at[jnp.maximum(m - 2, 0)].set(0)
+
+    def p2_body(j, A):
+        nxt = m - 3 - j
+        active = nxt >= 0
+        nxt_c = jnp.maximum(nxt, 0)
+        parent = A[jnp.minimum(A[nxt_c], 255)]
+        return jnp.where(active, A.at[nxt_c].set(parent + 1), A)
+
+    A = jax.lax.fori_loop(0, 254, p2_body, A)
+
+    # ---- phase 3 (vectorized): internal-depth histogram -> leaves per depth
+    pos = jnp.arange(256, dtype=jnp.int32)
+    internal = pos < m - 1
+    idepth = jnp.where(internal, A, MAX_LEN + 1)
+    nd = jnp.zeros(MAX_LEN + 2, jnp.int32).at[jnp.minimum(idepth, MAX_LEN + 1)].add(1)
+    nd = nd[: MAX_LEN + 1]  # internal nodes per depth 0..MAX_LEN
+    # leaves at depth d = 2 * internal(d-1) - internal(d)
+    leaves = 2 * jnp.concatenate([jnp.zeros(1, jnp.int32), nd[:-1]]) - nd
+    leaves = leaves.at[0].set(0)
+    cum = jnp.cumsum(leaves)
+    # sorted position j (ascending freq) has rank-from-most-frequent m-1-j
+    rank = m - 1 - pos
+    depth = jnp.searchsorted(cum, rank, side="right").astype(jnp.int32)
+    depth = jnp.where(pos < m, depth, 0)
+
+    lengths = jnp.zeros(256, jnp.int32).at[sorted_sym].max(depth)
+    return jnp.where(sigma >= 2, lengths, jnp.zeros(256, jnp.int32))
+
+
+def canonical_codes(lengths: jnp.ndarray):
+    """Canonical codeword assignment (HuffmanCoder.hpp:192-218 semantics).
+
+    Args: lengths [256] i32 (0 = absent).
+    Returns (cw [256] u32, numl [MAX_LEN] i32, ordered_sym [256] i32,
+             sigma i32, longest i32); ordered_sym lists effective symbols
+    sorted by (length, symbol), padded with 0 beyond sigma.
+    """
+    present = lengths > 0
+    sigma = jnp.sum(present.astype(jnp.int32))
+    longest = jnp.max(lengths)
+    numl = jnp.zeros(MAX_LEN + 1, jnp.int32).at[lengths].add(present.astype(jnp.int32))
+    numl = numl[1:]  # counts for lengths 1..MAX_LEN
+
+    # firstcode[l-1] = (firstcode[l] + numl[l]) / 2, firstcode[longest-1] = 0
+    def fc_body(j, fc):
+        i = MAX_LEN - 1 - j  # i from MAX_LEN-1 down to 1; set fc[i-1]
+        val = (fc[i] + numl[i]) >> 1
+        return fc.at[i - 1].set(jnp.where(i < longest, val, 0))
+
+    firstcode = jax.lax.fori_loop(
+        0, MAX_LEN - 1, fc_body, jnp.zeros(MAX_LEN, jnp.int32)
+    )
+
+    # order by (length, symbol); absent symbols sort last
+    sym = jnp.arange(256, dtype=jnp.int32)
+    lkey = jnp.where(present, lengths, _BIG)
+    ordered_len, ordered_sym = jax.lax.sort((lkey, sym), num_keys=2)
+    # rank within the same-length group
+    first_of_len = jnp.searchsorted(ordered_len, ordered_len, side="left")
+    pos = jnp.arange(256, dtype=jnp.int32)
+    ordered_cw = firstcode[jnp.clip(ordered_len - 1, 0, MAX_LEN - 1)] + (
+        pos - first_of_len
+    )
+    cw = jnp.zeros(256, jnp.uint32).at[ordered_sym].set(
+        jnp.where(pos < sigma, ordered_cw, 0).astype(jnp.uint32)
+    )
+    ordered_sym = jnp.where(pos < sigma, ordered_sym, 0)
+    return cw, numl, ordered_sym, sigma, longest
+
+
+def _compressed_int_tokens(v):
+    """4 token slots for write_compressed_int(v), v < 2^14 (io/bitio.py)."""
+    more = v >= 128
+    vals = jnp.stack(
+        [
+            more.astype(jnp.int32),
+            v & 127,
+            jnp.zeros_like(v),
+            v >> 7,
+        ]
+    )
+    bits = jnp.stack(
+        [
+            jnp.ones_like(v),
+            jnp.full_like(v, 7),
+            more.astype(jnp.int32),
+            jnp.where(more, 7, 0),
+        ]
+    )
+    return vals, bits
+
+
+N_TABLE_TOKENS = 1 + 4 + 4 * MAX_LEN + 4 + 256
+
+
+def huffman_table_tokens(numl, ordered_sym, sigma, longest):
+    """Token slots for the serialized table incl. leading flag bit.
+
+    Mirrors write_table (coders/huffman.py:109-114 / HuffmanCoder.hpp:264).
+    Degenerate alphabets (sigma <= 1) emit only the flag-0 bit.
+    """
+    normal = sigma >= 2
+    flag_v = normal.astype(jnp.int32)
+    vals = [flag_v[None]]
+    bits = [jnp.ones(1, jnp.int32)]
+
+    def ci(v):
+        cv, cb = _compressed_int_tokens(v)
+        vals.append(cv)
+        bits.append(jnp.where(normal, cb, 0))
+
+    ci(longest)
+    # numl[l] for l = 1..longest (width-0 beyond longest)
+    lidx = jnp.arange(MAX_LEN, dtype=jnp.int32)
+    cv, cb = jax.vmap(_compressed_int_tokens)(numl)  # [MAX_LEN, 4]
+    live = (lidx < longest) & normal
+    vals.append(cv.reshape(-1))
+    bits.append(jnp.where(live[:, None], cb, 0).reshape(-1))
+    ci(sigma)
+    pos = jnp.arange(256, dtype=jnp.int32)
+    vals.append(ordered_sym)
+    bits.append(jnp.where((pos < sigma) & normal, 8, 0))
+
+    return jnp.concatenate(vals), jnp.concatenate(bits)
+
+
+def _encode_one_block(block, n_valid, hist, n_words, emit_table):
+    """Token stream + packed words for one block given its (shared) histogram."""
+    lengths = code_lengths(hist)
+    cw, numl, ordered_sym, sigma, longest = canonical_codes(lengths)
+
+    normal = sigma >= 2
+    c = block.astype(jnp.int32)
+    pos = jnp.arange(block.shape[0], dtype=jnp.int32)
+    live = pos < n_valid
+    # normal: canonical code; degenerate: raw 8-bit literal
+    sym_vals = jnp.where(normal, cw[c].astype(jnp.int32), c)
+    sym_bits = jnp.where(live, jnp.where(normal, lengths[c], 8), 0)
+
+    if emit_table:
+        tv, tb = huffman_table_tokens(numl, ordered_sym, sigma, longest)
+        values = jnp.concatenate([tv, sym_vals])
+        nbits = jnp.concatenate([tb, sym_bits])
+    else:
+        values, nbits = sym_vals, sym_bits
+    return pack_tokens(values, nbits, n_words)
+
+
+def block_histograms(blocks, n_valid):
+    """[B, bs] u8 + [B] valid counts -> [B, 256] i32 histograms."""
+    pos = jnp.arange(blocks.shape[1], dtype=jnp.int32)
+
+    def hist_of(block, nv):
+        contrib = jnp.where(pos < nv, jnp.int32(1), jnp.int32(0))
+        return jnp.zeros(256, jnp.int32).at[block.astype(jnp.int32)].add(contrib)
+
+    return jax.vmap(hist_of)(blocks, n_valid)
+
+
+def encode_blocks_with_hists(blocks, n_valid, hists, n_words, emit_table=True):
+    """Encode blocks against given per-block histograms (tables derive from
+    them; pass a broadcast psum'd histogram for the shared-table mode)."""
+    assert blocks.shape[1] <= MAX_BLOCK, "block too large for 32-bit code tokens"
+    return jax.vmap(
+        lambda b, nv, h: _encode_one_block(b, nv, h, n_words, emit_table)
+    )(blocks, n_valid, hists)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def encode_blocks(blocks, n_valid, n_words, shared_table=False, emit_table=True):
+    """Encode [B, bs] u8 blocks -> ([B, n_words] u32, [B] total_bits).
+
+    n_valid [B] gives per-block byte counts (padding beyond is skipped —
+    the histogram is restricted to the valid prefix). With
+    shared_table=True one table from the summed histogram is used for every
+    block (multi-chip mode: psum the histogram over the mesh instead).
+    """
+    hists = block_histograms(blocks, n_valid)
+    if shared_table:
+        shared = jnp.sum(hists, axis=0)
+        hists = jnp.broadcast_to(shared, hists.shape)
+    return encode_blocks_with_hists(blocks, n_valid, hists, n_words, emit_table)
