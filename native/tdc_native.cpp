@@ -11,6 +11,7 @@
 //
 // Build: see native/Makefile (g++ -O3 -shared -fPIC).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -319,6 +320,163 @@ int64_t tdc_huffman_decode(const uint8_t* data, int64_t start_bit,
         pos += l;
     }
     return count;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Suffix array via SA-IS (Nong/Zhang/Chan 2009, induced sorting), written
+// from scratch. Replaces the reference's vendored divsufsort
+// (util/divsufsort.hpp) as the host-side SA constructor; same output
+// contract (end-of-string sorts before every character).
+
+namespace {
+
+// s: values in [0, K), s[n-1] must be the unique smallest value.
+// sa: output buffer of length n.
+void sais_rec(const int32_t* s, int32_t* sa, int64_t n, int64_t K) {
+    if (n == 1) {
+        sa[0] = 0;
+        return;
+    }
+    std::vector<uint8_t> t((size_t)n);
+    t[n - 1] = 1;
+    for (int64_t i = n - 2; i >= 0; --i)
+        t[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && t[i + 1]);
+    auto isLMS = [&](int64_t i) { return i > 0 && t[i] && !t[i - 1]; };
+
+    std::vector<int64_t> bkt((size_t)K + 1);
+    auto getBuckets = [&](bool end) {
+        std::fill(bkt.begin(), bkt.end(), 0);
+        for (int64_t i = 0; i < n; ++i) bkt[s[i]]++;
+        int64_t sum = 0;
+        for (int64_t k = 0; k <= K; ++k) {
+            sum += bkt[k];
+            bkt[k] = end ? sum : sum - bkt[k];
+        }
+    };
+    auto induceL = [&]() {
+        getBuckets(false);
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && !t[j]) sa[bkt[s[j]]++] = (int32_t)j;
+        }
+    };
+    auto induceS = [&]() {
+        getBuckets(true);
+        for (int64_t i = n - 1; i >= 0; --i) {
+            int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && t[j]) sa[--bkt[s[j]]] = (int32_t)j;
+        }
+    };
+
+    // stage 1: sort LMS substrings by induced sorting
+    getBuckets(true);
+    std::fill(sa, sa + n, -1);
+    for (int64_t i = 1; i < n; ++i)
+        if (isLMS(i)) sa[--bkt[s[i]]] = (int32_t)i;
+    induceL();
+    induceS();
+
+    // compact sorted LMS positions
+    int64_t n1 = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (sa[i] > 0 && isLMS(sa[i])) sa[n1++] = sa[i];
+
+    // name LMS substrings in sa[n1..n)
+    std::fill(sa + n1, sa + n, -1);
+    int64_t name = 0, prev = -1;
+    for (int64_t i = 0; i < n1; ++i) {
+        int64_t pos = sa[i];
+        bool diff = false;
+        if (prev < 0) {
+            diff = true;
+        } else {
+            for (int64_t d = 0;; ++d) {
+                if (pos + d >= n || prev + d >= n || s[pos + d] != s[prev + d] ||
+                    t[pos + d] != t[prev + d]) {
+                    diff = true;
+                    break;
+                }
+                if (d > 0 && (isLMS(pos + d) || isLMS(prev + d))) break;
+            }
+        }
+        if (diff) {
+            ++name;
+            prev = pos;
+        }
+        sa[n1 + pos / 2] = (int32_t)(name - 1);
+    }
+    for (int64_t i = n - 1, j = n - 1; i >= n1; --i)
+        if (sa[i] >= 0) sa[j--] = sa[i];
+
+    // stage 2: recurse if names are not yet unique
+    int32_t* s1 = sa + n - n1;
+    if (name < n1) {
+        sais_rec(s1, sa, n1, name);
+    } else {
+        for (int64_t i = 0; i < n1; ++i) sa[s1[i]] = (int32_t)i;
+    }
+
+    // stage 3: induce the full SA from the sorted LMS suffixes
+    for (int64_t i = 1, j = 0; i < n; ++i)
+        if (isLMS(i)) s1[j++] = (int32_t)i;  // s1 now maps rank index -> pos
+    for (int64_t i = 0; i < n1; ++i) sa[i] = s1[sa[i]];
+    std::fill(sa + n1, sa + n, -1);
+    getBuckets(true);
+    for (int64_t i = n1 - 1; i >= 0; --i) {
+        int64_t j = sa[i];
+        sa[i] = -1;
+        sa[--bkt[s[j]]] = (int32_t)j;
+    }
+    induceL();
+    induceS();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of `text` with end-of-string < every byte (the divsufsort /
+// prefix-doubling contract). Returns 0 on success.
+int32_t tdc_sais(const uint8_t* text, int64_t n, int32_t* sa_out) {
+    if (n <= 0) return 0;
+    if (n == 1) {
+        sa_out[0] = 0;
+        return 0;
+    }
+    // shift alphabet by +1 and append a unique 0 sentinel
+    std::vector<int32_t> s((size_t)n + 1);
+    for (int64_t i = 0; i < n; ++i) s[i] = (int32_t)text[i] + 1;
+    s[n] = 0;
+    std::vector<int32_t> sa((size_t)n + 1);
+    sais_rec(s.data(), sa.data(), n + 1, 257);
+    std::memcpy(sa_out, sa.data() + 1, (size_t)n * sizeof(int32_t));
+    return 0;
+}
+
+// Kärkkäinen phi-algorithm PLCP (semantics of ds/PLCPFromPhi.hpp:38-44,
+// with explicit bounds instead of relying on the sentinel).
+void tdc_plcp_from_phi(const uint8_t* text, int64_t n, const int32_t* phi,
+                       int32_t* plcp) {
+    int64_t l = 0;
+    for (int64_t i = 0; i + 1 < n; ++i) {
+        int64_t p = phi[i];
+        while (i + l < n && p + l < n && text[i + l] == text[p + l]) ++l;
+        plcp[i] = (int32_t)l;
+        if (l) --l;
+    }
+    if (n > 0) plcp[n - 1] = 0;
+}
+
+// BWT LF-walk reconstruction (ds/bwt.hpp:84-95); out has length n-1.
+void tdc_bwt_walk(const uint8_t* bwt, const int64_t* lf, int64_t n,
+                  uint8_t* out) {
+    int64_t i = 0;
+    for (int64_t j = 1; j < n; ++j) {
+        out[n - 1 - j] = bwt[i];
+        i = lf[i];
+    }
 }
 
 }  // extern "C"

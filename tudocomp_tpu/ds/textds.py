@@ -1,0 +1,164 @@
+"""TextDS: on-demand SA/ISA/Phi/PLCP/LCP over a sentinel-terminated text.
+
+Mirror of include/tudocomp/ds/TextDS.hpp:30-344 (require() builds providers
+in dependency order) with array providers:
+  SA    prefix doubling (ds/suffix_array.py; native SA-IS when built)
+  Phi   phi[sa[i]] = sa[i-1]              (ds/PhiFromSA.hpp:37-45)
+  PLCP  Kärkkäinen phi-algorithm           (ds/PLCPFromPhi.hpp:38-44)
+  LCP   LCP[i] = PLCP[sa[i]]               (ds/LCPFromPLCP.hpp:38-49)
+  ISA   inverse permutation                (ds/ISAFromSA.hpp:12-61)
+The CompressMode bit-packing axis of the reference collapses to numpy
+dtypes (arrays are i32); requires a text whose last byte is the unique 0
+sentinel, as guaranteed by Meta.uses_textds input restrictions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import native
+from ..stats.phase import StatPhase
+from . import flags
+from .suffix_array import (
+    inverse_permutation,
+    lcp_from_plcp,
+    phi_from_sa,
+    plcp_from_phi_numpy,
+    suffix_array_numpy,
+)
+
+
+class TextDS:
+    def __init__(self, text: np.ndarray):
+        self.text = np.ascontiguousarray(text, dtype=np.uint8)
+        self._sa: Optional[np.ndarray] = None
+        self._isa: Optional[np.ndarray] = None
+        self._phi: Optional[np.ndarray] = None
+        self._plcp: Optional[np.ndarray] = None
+        self._lcp: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return len(self.text)
+
+    def require(self, what: int) -> None:
+        if what & flags.SA:
+            self.require_sa()
+        if what & flags.PHI:
+            self.require_phi()
+        if what & flags.PLCP:
+            self.require_plcp()
+        if what & flags.LCP:
+            self.require_lcp()
+        if what & flags.ISA:
+            self.require_isa()
+
+    # -- providers ------------------------------------------------------------
+
+    def require_sa(self) -> np.ndarray:
+        if self._sa is None:
+            with StatPhase("Construct SA") as ph:
+                lib = native.get_lib()
+                n = len(self.text)
+                if lib is not None and hasattr(lib, "tdc_sais") and n:
+                    sa = np.empty(n, dtype=np.int32)
+                    rc = lib.tdc_sais(self.text, n, sa)
+                    assert rc == 0, "native SA-IS failed"
+                    self._sa = sa
+                else:
+                    self._sa = suffix_array_numpy(self.text)
+                ph.log("n", n)
+        return self._sa
+
+    def require_isa(self) -> np.ndarray:
+        if self._isa is None:
+            with StatPhase("Construct ISA"):
+                self._isa = inverse_permutation(self.require_sa())
+        return self._isa
+
+    def require_phi(self) -> np.ndarray:
+        if self._phi is None:
+            with StatPhase("Construct Phi Array"):
+                self._phi = phi_from_sa(self.require_sa())
+        return self._phi
+
+    def require_plcp(self) -> np.ndarray:
+        if self._plcp is None:
+            phi = self.require_phi()
+            with StatPhase("Construct PLCP Array"):
+                lib = native.get_lib()
+                n = len(self.text)
+                if lib is not None and hasattr(lib, "tdc_plcp_from_phi") and n:
+                    plcp = np.empty(n, dtype=np.int32)
+                    lib.tdc_plcp_from_phi(self.text, n, phi, plcp)
+                    self._plcp = plcp
+                else:
+                    self._plcp = plcp_from_phi_numpy(self.text, phi)
+        return self._plcp
+
+    def require_lcp(self) -> np.ndarray:
+        if self._lcp is None:
+            with StatPhase("Construct LCP Array"):
+                self._lcp = lcp_from_plcp(self.require_plcp(), self.require_sa())
+        return self._lcp
+
+    # accessors mirroring TextDS::sa()/isa()/... ------------------------------
+
+    def sa(self) -> np.ndarray:
+        assert self._sa is not None
+        return self._sa
+
+    def isa(self) -> np.ndarray:
+        assert self._isa is not None
+        return self._isa
+
+    def phi(self) -> np.ndarray:
+        assert self._phi is not None
+        return self._phi
+
+    def plcp(self) -> np.ndarray:
+        assert self._plcp is not None
+        return self._plcp
+
+    def lcp(self) -> np.ndarray:
+        assert self._lcp is not None
+        return self._lcp
+
+
+def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """bwt[i] = text[sa[i]-1] (text[n-1] when sa[i]==0), ds/bwt.hpp:20-23."""
+    text = np.asarray(text, dtype=np.uint8)
+    return text[(sa.astype(np.int64) - 1) % len(text)]
+
+
+def bwt_lf(bwt: np.ndarray) -> np.ndarray:
+    """LF mapping: LF[i] = rank of (bwt[i], i) in (char, pos) order
+    (ds/bwt.hpp:29-66)."""
+    n = len(bwt)
+    order = np.argsort(bwt, kind="stable")
+    lf = np.empty(n, dtype=np.int64)
+    lf[order] = np.arange(n, dtype=np.int64)
+    return lf
+
+
+def decode_bwt(bwt: np.ndarray) -> np.ndarray:
+    """LF-walk reconstruction, dropping the sentinel (ds/bwt.hpp:77-98).
+
+    Returns the original text (length n-1) for a BWT of a 0-terminated text.
+    """
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    n = len(bwt)
+    if n <= 1:
+        return np.zeros(0, dtype=np.uint8)
+    lf = bwt_lf(bwt)
+    lib = native.get_lib()
+    out = np.empty(n - 1, dtype=np.uint8)
+    if lib is not None and hasattr(lib, "tdc_bwt_walk"):
+        lib.tdc_bwt_walk(bwt, lf.astype(np.int64), n, out)
+        return out
+    i = 0
+    for j in range(1, n):
+        out[n - 1 - j] = bwt[i]
+        i = lf[i]
+    return out

@@ -76,5 +76,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u8p,
         i64,
     ]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.tdc_sais.restype = ctypes.c_int32
+    lib.tdc_sais.argtypes = [u8p, i64, i32p]
+    lib.tdc_plcp_from_phi.restype = None
+    lib.tdc_plcp_from_phi.argtypes = [u8p, i64, i32p, i32p]
+    lib.tdc_bwt_walk.restype = None
+    lib.tdc_bwt_walk.argtypes = [u8p, i64p, i64, u8p]
     _lib = lib
     return _lib
