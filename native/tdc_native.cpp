@@ -455,6 +455,128 @@ int32_t tdc_sais(const uint8_t* text, int64_t n, int32_t* sa_out) {
     return 0;
 }
 
+// LZSS sliding-window factorization (exact semantics of
+// LZSSSlidingWindowCompressor::compress, LZSSSlidingWindowCompressor.hpp:
+// 39-120): brute-force longest match >= threshold in the last `window`
+// positions, leftmost match preferred, lookahead limited to the buffer end
+// (match length <= window). Emits per token: kind[t] = 1 for a factor with
+// (pos, delta=pos-src, len) or 0 for a literal (char in flen slot).
+// Returns token count.
+int64_t tdc_lzss_window_parse(const uint8_t* data, int64_t n, int64_t window,
+                              int64_t threshold, uint8_t* kind, uint32_t* fpos,
+                              uint32_t* fdelta, uint32_t* flen) {
+    int64_t nt = 0;
+    int64_t ahead = 0;
+    while (ahead < n) {
+        int64_t limit = ahead + window < n ? ahead + window : n;  // buffer end
+        int64_t fnum = 0, fsrc = 0;
+        int64_t k0 = ahead > window ? ahead - window : 0;
+        for (int64_t k = k0; k < ahead; ++k) {
+            int64_t j = 0;
+            while (ahead + j < limit && data[k + j] == data[ahead + j]) ++j;
+            if (j >= threshold && j > fnum) {
+                fnum = j;
+                fsrc = k;
+            }
+        }
+        if (fnum > 0) {
+            kind[nt] = 1;
+            fpos[nt] = (uint32_t)ahead;
+            fdelta[nt] = (uint32_t)(ahead - fsrc);
+            flen[nt] = (uint32_t)fnum;
+            ahead += fnum;
+        } else {
+            kind[nt] = 0;
+            fpos[nt] = (uint32_t)ahead;
+            fdelta[nt] = 0;
+            flen[nt] = data[ahead];
+            ahead += 1;
+        }
+        ++nt;
+    }
+    return nt;
+}
+
+// lzss_lcp factorization (exact semantics of LZSSLCPCompressor::compress,
+// LZSSLCPCompressor.hpp:42-115): greedy left-to-right; at text position i
+// the candidate is the longer of the PSV/NSV matches in SA order, ties
+// prefer PSV. PSV/NSV positions with their min-LCP values are precomputed
+// by monotone-stack passes (replacing the reference's naive per-position
+// scans with an O(n) ANSV pass — SURVEY.md §7 step 6).
+// Buffers fpos/fsrc/flen must hold n entries. Returns factor count.
+int64_t tdc_lzss_lcp_factorize(const int32_t* sa, const int32_t* isa,
+                               const int32_t* lcp, int64_t n,
+                               int64_t threshold, uint32_t* fpos,
+                               uint32_t* fsrc, uint32_t* flen) {
+    if (n == 0) return 0;
+    // psv_lcp[j] = min lcp over (psv_j, j] where psv_j = nearest j' < j with
+    // sa[j'] < sa[j]; psv_src[j] = sa[psv_j]. Stack entries carry the min
+    // lcp of their segment (between the entry below and themselves).
+    std::vector<int32_t> psv_lcp(n), nsv_lcp(n);
+    std::vector<int32_t> psv_src(n), nsv_src(n);
+    {
+        std::vector<int32_t> st_idx;
+        std::vector<int32_t> st_min;
+        for (int64_t j = 0; j < n; ++j) {
+            int32_t m = lcp[j];
+            while (!st_idx.empty() && sa[st_idx.back()] > sa[j]) {
+                m = std::min(m, st_min.back());
+                st_idx.pop_back();
+                st_min.pop_back();
+            }
+            if (st_idx.empty()) {
+                psv_lcp[j] = 0;
+                psv_src[j] = -1;
+            } else {
+                psv_lcp[j] = m;
+                psv_src[j] = sa[st_idx.back()];
+            }
+            st_idx.push_back((int32_t)j);
+            st_min.push_back(m);
+        }
+    }
+    {
+        std::vector<int32_t> st_idx;
+        std::vector<int32_t> st_min;
+        for (int64_t j = n - 1; j >= 0; --j) {
+            int32_t m = j + 1 < n ? lcp[j + 1] : 0;
+            // min lcp over (j, nsv] accumulates while popping
+            int32_t run = 0x7FFFFFFF;
+            while (!st_idx.empty() && sa[st_idx.back()] > sa[j]) {
+                run = std::min(run, st_min.back());
+                st_idx.pop_back();
+                st_min.pop_back();
+            }
+            if (st_idx.empty()) {
+                nsv_lcp[j] = 0;
+                nsv_src[j] = -1;
+            } else {
+                nsv_lcp[j] = std::min(m, run);
+                nsv_src[j] = sa[st_idx.back()];
+            }
+            // this entry's segment min: lcp between j and the element above
+            st_idx.push_back((int32_t)j);
+            st_min.push_back(std::min(m, run));
+        }
+    }
+    int64_t nf = 0;
+    for (int64_t i = 0; i + 1 < n;) {
+        int32_t j = isa[i];
+        int32_t pl = psv_lcp[j], nl = nsv_lcp[j];
+        int32_t maxl = pl >= nl ? pl : nl;  // ties prefer PSV (reference)
+        if (maxl >= threshold) {
+            fpos[nf] = (uint32_t)i;
+            fsrc[nf] = (uint32_t)(pl >= nl ? psv_src[j] : nsv_src[j]);
+            flen[nf] = (uint32_t)maxl;
+            ++nf;
+            i += maxl;
+        } else {
+            ++i;
+        }
+    }
+    return nf;
+}
+
 // Kärkkäinen phi-algorithm PLCP (semantics of ds/PLCPFromPhi.hpp:38-44,
 // with explicit bounds instead of relying on the sentinel).
 void tdc_plcp_from_phi(const uint8_t* text, int64_t n, const int32_t* phi,

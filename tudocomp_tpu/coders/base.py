@@ -80,6 +80,58 @@ def write_interleaved(w: BitWriter, streams: list[TokenStream]) -> None:
     w.write_ints(vals[order], bits[order])
 
 
+def write_segmented(w: BitWriter, enc: "Encoder", columns) -> bool:
+    """Vectorized emit of a segmented token layout.
+
+    `columns` is a list of (values, r, seg_counts) in intra-segment order:
+    segment f consists of seg_counts_0[f] values of column 0, then
+    seg_counts_1[f] of column 1, etc. (all seg_counts share length S).
+    Reproduces the scalar loop `for f: for c: for v in col c of f:
+    enc.encode(v, r_c)` in one vectorized pack. Returns False if any column
+    has no token form (caller falls back to scalar encoding).
+    """
+    parts = []
+    for values, r, seg_counts in columns:
+        values = np.asarray(values)
+        ts = enc.tokens(values, r)
+        if ts is None:
+            return False
+        parts.append((ts.expand(), np.asarray(seg_counts, dtype=np.int64)))
+    if not parts:
+        return True
+    S = len(parts[0][1])
+
+    # per-column: cumulative token counts by value, segment starts in values
+    col_data = []
+    for (v, nb, cnt), sc in parts:
+        cs = np.concatenate([[0], np.cumsum(cnt)])  # tokens before value i
+        vstart = np.concatenate([[0], np.cumsum(sc)])  # first value of seg f
+        tokens_per_seg = cs[vstart[1:]] - cs[vstart[:-1]]
+        col_data.append((v, nb, cnt, cs, vstart, tokens_per_seg, sc))
+
+    total_per_seg = sum(cd[5] for cd in col_data)
+    seg_off = np.concatenate([[0], np.cumsum(total_per_seg)])[:-1]
+
+    total_tokens = int(sum(len(cd[0]) for cd in col_data))
+    out_vals = np.zeros(total_tokens, dtype=np.uint64)
+    out_bits = np.zeros(total_tokens, dtype=np.int64)
+
+    col_start = seg_off
+    for v, nb, cnt, cs, vstart, tps, sc in col_data:
+        n_vals = len(cnt)
+        if n_vals:
+            val_of_tok = np.repeat(np.arange(n_vals, dtype=np.int64), cnt)
+            seg_of_val = np.repeat(np.arange(S, dtype=np.int64), sc)
+            seg_of_tok = seg_of_val[val_of_tok]
+            tok_idx = np.arange(len(v), dtype=np.int64)
+            pos = col_start[seg_of_tok] + (tok_idx - cs[vstart[seg_of_tok]])
+            out_vals[pos] = v
+            out_bits[pos] = nb
+        col_start = col_start + tps
+    w.write_ints(out_vals, out_bits)
+    return True
+
+
 class Encoder(Algorithm):
     def __init__(self, env: Env, writer: BitWriter, literals):
         super().__init__(env)

@@ -84,5 +84,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_plcp_from_phi.argtypes = [u8p, i64, i32p, i32p]
     lib.tdc_bwt_walk.restype = None
     lib.tdc_bwt_walk.argtypes = [u8p, i64p, i64, u8p]
+    lib.tdc_lzss_window_parse.restype = i64
+    lib.tdc_lzss_window_parse.argtypes = [u8p, i64, i64, i64, u8p, u32p, u32p, u32p]
+    lib.tdc_lzss_lcp_factorize.restype = i64
+    lib.tdc_lzss_lcp_factorize.argtypes = [i32p, i32p, i32p, i64, i64, u32p, u32p, u32p]
     _lib = lib
     return _lib

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bitpack import pack_tokens
+from .bitpack import pack_tokens_scanfree as pack_tokens
 
 MAX_BLOCK = 1 << 21  # keeps max code length <= 31 (Fibonacci bound)
 MAX_LEN = 32  # code length slots 1..MAX_LEN
