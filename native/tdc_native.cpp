@@ -577,6 +577,70 @@ int64_t tdc_lzss_lcp_factorize(const int32_t* sa, const int32_t* isa,
     return nf;
 }
 
+// Arithmetic (range) coder hot loops, mirror of coders/ArithmeticCoder.hpp:
+// 96-117 (setNewBounds) and :188-215 (block decode). C is the cumulative
+// normalized count table; a code block is flushed whenever the remaining
+// range drops below min_range. Returns the number of u64 codes emitted
+// (out_codes must hold n + 2 entries; the trailing dummy is NOT included).
+int64_t tdc_arith_encode(const uint8_t* data, int64_t n, const uint32_t* C,
+                         uint64_t min_range, uint64_t* out_codes) {
+    uint64_t lower = 0, upper = ~0ull;
+    const uint64_t total = C[255];
+    int64_t nc = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t range = upper - lower;
+        if (range < min_range) {
+            out_codes[nc++] = lower;
+            lower = 0;
+            upper = ~0ull;
+            range = upper - lower;
+        }
+        uint8_t v = data[i];
+        uint64_t off_u =
+            range <= total ? range * C[v] / total : range / total * C[v];
+        upper = lower + off_u;
+        if (v != 0) {
+            uint64_t off_l = range <= total ? range * C[v - 1] / total
+                                            : range / total * C[v - 1];
+            lower = lower + off_l;
+        }
+    }
+    if (n > 0) out_codes[nc++] = lower;  // postProcessing final block
+    return nc;
+}
+
+// Decode `literal_count` literals from the code-block sequence.
+// syms/cums: codebook entries (symbol, cumulative normalized count).
+int64_t tdc_arith_decode(const uint64_t* codes, int64_t ncodes,
+                         const uint8_t* syms, const uint32_t* cums,
+                         int32_t cbsize, uint64_t min_range,
+                         int64_t literal_count, uint8_t* out) {
+    if (cbsize <= 0) return 0;
+    const uint64_t total = cums[cbsize - 1];
+    int64_t cnt = 0;
+    for (int64_t ci = 0; ci < ncodes && cnt < literal_count; ++ci) {
+        uint64_t code = codes[ci];
+        uint64_t lower = 0, upper = ~0ull;
+        uint64_t range = upper - lower;
+        while (min_range <= range && cnt < literal_count) {
+            uint64_t interval_lower = lower;
+            for (int32_t i = 0; i < cbsize; ++i) {
+                uint64_t off = range <= total ? range * cums[i] / total
+                                              : range / total * cums[i];
+                upper = lower + off;
+                if (code < upper) {
+                    out[cnt++] = syms[i];
+                    lower = interval_lower;
+                    break;
+                }
+                interval_lower = upper;
+            }
+            range = upper - lower;
+        }
+    }
+    return cnt;
+}
+
 // Kärkkäinen phi-algorithm PLCP (semantics of ds/PLCPFromPhi.hpp:38-44,
 // with explicit bounds instead of relying on the sentinel).
 void tdc_plcp_from_phi(const uint8_t* text, int64_t n, const int32_t* phi,

@@ -88,5 +88,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_lzss_window_parse.argtypes = [u8p, i64, i64, i64, u8p, u32p, u32p, u32p]
     lib.tdc_lzss_lcp_factorize.restype = i64
     lib.tdc_lzss_lcp_factorize.argtypes = [i32p, i32p, i32p, i64, i64, u32p, u32p, u32p]
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.tdc_arith_encode.restype = i64
+    lib.tdc_arith_encode.argtypes = [u8p, i64, u32p, ctypes.c_uint64, u64p]
+    lib.tdc_arith_decode.restype = i64
+    lib.tdc_arith_decode.argtypes = [
+        u64p,
+        i64,
+        u8p,
+        u32p,
+        ctypes.c_int32,
+        ctypes.c_uint64,
+        i64,
+        u8p,
+    ]
     _lib = lib
     return _lib
