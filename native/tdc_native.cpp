@@ -577,6 +577,156 @@ int64_t tdc_lzss_lcp_factorize(const int32_t* sa, const int32_t* isa,
     return nf;
 }
 
+// lcpcomp "arrays" factorization strategy (exact mirror of
+// lcpcomp/compress/ArraysComp.hpp:36-119): candidates bucketed by LCP
+// value; repeatedly take a maximal-LCP suffix array position, emit factor
+// (sa[index] <- sa[index-1], lcp[index] chars), zero the LCP of replaced
+// suffixes and clamp intersecting entries, pushing shrunk candidates down
+// to their new bucket. Mutates lcp. Factors are emitted in max-LCP order
+// (caller sorts by position). Returns factor count.
+int64_t tdc_lcpcomp_arrays_factorize(const int32_t* sa, const int32_t* isa,
+                                     int32_t* lcp, int64_t n,
+                                     int64_t threshold, uint32_t* fpos,
+                                     uint32_t* fsrc, uint32_t* flen) {
+    int64_t max_lcp = 0;
+    for (int64_t i = 0; i < n; ++i) max_lcp = std::max<int64_t>(max_lcp, lcp[i]);
+    if (max_lcp + 1 <= threshold) return 0;
+    const int64_t cand_length = max_lcp + 1 - threshold;
+    std::vector<std::vector<uint32_t>> cand((size_t)cand_length);
+    for (int64_t i = 1; i < n; ++i) {
+        if (lcp[i] < threshold) continue;
+        cand[lcp[i] - threshold].push_back((uint32_t)i);
+    }
+    int64_t nf = 0;
+    for (int64_t maxlcp = max_lcp; maxlcp >= threshold; --maxlcp) {
+        std::vector<uint32_t>& col = cand[maxlcp - threshold];
+        for (size_t ci = 0; ci < col.size(); ++ci) {
+            const uint32_t index = col[ci];
+            const int64_t lcp_value = lcp[index];
+            if (lcp_value < maxlcp) {  // resized: push down
+                if (lcp_value < threshold) continue;  // erased
+                cand[lcp_value - threshold].push_back(index);
+                continue;
+            }
+            const int64_t pos_target = sa[index];
+            const int64_t pos_source = sa[index - 1];
+            const int64_t factor_length = lcp[index];
+            fpos[nf] = (uint32_t)pos_target;
+            fsrc[nf] = (uint32_t)pos_source;
+            flen[nf] = (uint32_t)factor_length;
+            ++nf;
+            for (int64_t k = 0; k < factor_length; ++k)
+                lcp[isa[pos_target + k]] = 0;
+            const int64_t max_affect = std::min(factor_length, pos_target);
+            for (int64_t k = 0; k < max_affect; ++k) {
+                const int64_t ind_suffix = isa[pos_target - k - 1];
+                lcp[ind_suffix] = std::min<int32_t>((int32_t)(k + 1), lcp[ind_suffix]);
+            }
+        }
+        col.clear();
+    }
+    return nf;
+}
+
+// FactorBuffer::flatten (lzss/LZSSFactors.hpp:79-132): rewrite factor
+// sources that point into other factors to their (transitively) flattened
+// source when fully contained. Factors must be sorted by pos.
+void tdc_lcpcomp_flatten(uint32_t* fpos, uint32_t* fsrc, uint32_t* flen,
+                         int64_t nf) {
+    if (nf == 0) return;
+    const int64_t map_size = (int64_t)fpos[nf - 1] + flen[nf - 1];
+    std::vector<uint32_t> fmap((size_t)map_size, 0);  // pos -> factor id + 1
+    for (int64_t i = 0; i < nf; ++i)
+        for (uint32_t j = 0; j < flen[i]; ++j) fmap[fpos[i] + j] = (uint32_t)i + 1;
+    for (int64_t i = 0; i < nf; ++i) {
+        int64_t src = fsrc[i];
+        int64_t depth = 0;
+        while (src < map_size && fmap[src]) {
+            const int64_t s = fmap[src] - 1;
+            const int64_t d = src - fpos[s];
+            if (d + flen[i] <= flen[s]) {
+                src = fsrc[s] + d;
+                ++depth;
+            } else {
+                break;
+            }
+        }
+        if (depth) fsrc[i] = (uint32_t)src;
+    }
+}
+
+// lcpcomp scan decoding (lcpcomp/decompress/ScanDec.hpp): buffer starts
+// with the gap literals placed (0 = empty); factors arrive in stream order
+// with absolute target positions. Parse-time immediate copies, `scans`
+// lazy passes, then the eager pass with forward-reference buckets
+// (recursion converted to an explicit stack). Returns 0 on success.
+int32_t tdc_lcpcomp_scan_decode(uint8_t* buffer, int64_t n,
+                                const uint32_t* tgt0, const uint32_t* src0,
+                                const uint32_t* len0, int64_t nf0,
+                                int64_t scans) {
+    // parse-phase immediate copies (ScanDec::decode_factor :221-236)
+    std::vector<uint32_t> tgt, src, len;
+    tgt.reserve((size_t)nf0);
+    src.reserve((size_t)nf0);
+    len.reserve((size_t)nf0);
+    for (int64_t j = 0; j < nf0; ++j) {
+        bool stored = false;
+        for (uint32_t i = 0; i < len0[j]; ++i) {
+            const int64_t sp = (int64_t)src0[j] + i;
+            if (buffer[sp]) {
+                buffer[tgt0[j] + i] = buffer[sp];
+            } else if (!stored) {
+                stored = true;
+                tgt.push_back(tgt0[j] + i);
+                src.push_back((uint32_t)sp);
+                len.push_back(len0[j] - i);
+            }
+        }
+    }
+    // lazy scans (ScanDec::decode_lazy_ :180-193)
+    for (int64_t s = 0; s < scans; ++s) {
+        for (size_t j = 0; j < tgt.size(); ++j) {
+            for (uint32_t i = 0; i < len[j]; ++i)
+                buffer[tgt[j] + i] = buffer[src[j] + i];
+        }
+    }
+    // eager pass (EagerScanDec :26-135)
+    std::vector<int32_t> rank((size_t)n, -1);
+    int64_t empties = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (!buffer[i]) rank[i] = (int32_t)empties++;
+    std::vector<std::vector<uint32_t>> fwd((size_t)empties);
+    std::vector<uint32_t> stack;
+    auto decode_literal_at = [&](uint32_t pos, uint8_t c) {
+        stack.clear();
+        stack.push_back(pos);
+        while (!stack.empty()) {
+            uint32_t p = stack.back();
+            stack.pop_back();
+            buffer[p] = c;
+            const int32_t r = rank[p];
+            if (r >= 0 && !fwd[r].empty()) {
+                for (uint32_t q : fwd[r]) stack.push_back(q);
+                fwd[r].clear();
+                fwd[r].shrink_to_fit();
+            }
+        }
+    };
+    for (size_t j = 0; j < tgt.size(); ++j) {
+        for (uint32_t i = 0; i < len[j]; ++i) {
+            const int64_t sp = (int64_t)src[j] + i;
+            if (buffer[sp]) {
+                decode_literal_at(tgt[j] + i, buffer[sp]);
+            } else {
+                fwd[rank[sp]].push_back(tgt[j] + i);
+            }
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (!buffer[i] && i + 1 != n) return -1;  // undecodable position
+    return 0;
+}
+
 // Arithmetic (range) coder hot loops, mirror of coders/ArithmeticCoder.hpp:
 // 96-117 (setNewBounds) and :188-215 (block decode). C is the cumulative
 // normalized count table; a code block is flushed whenever the remaining

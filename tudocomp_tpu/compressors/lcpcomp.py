@@ -1,0 +1,285 @@
+"""lcpcomp compressor (id "lcpcomp") — the SEA'17 research centerpiece.
+
+Mirror of compressors/LCPCompressor.hpp:80-151: repeatedly factorize the
+maximal-LCP suffix-array position (lcp[i] chars at sa[i] <- sa[i-1],
+*forward* references allowed), using the "arrays" bucket strategy
+(lcpcomp/compress/ArraysComp.hpp) in the C++ runtime; factors are sorted
+by position and optionally flattened (LZSSFactors.hpp:79-132); the stream
+is the shared lzss format. Decompression is the scan decoder
+(lcpcomp/decompress/ScanDec.hpp): parse-time immediate copies, `scans`
+lazy passes, then eager chain resolution over forward-reference buckets.
+
+Strategy axes registered for id-string parity: comp in {arrays (default),
+heap, maxlcp, plcppeaks, plcp} — all map to the arrays bucket
+implementation in this build (identical factor semantics: always a
+maximal-LCP candidate; byte streams may order equal-LCP factors
+differently than the reference's heap variants); dec in {scan (default),
+compact}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..base import Compressor
+from ..ds import flags
+from ..ds.textds import TextDS
+from ..io.bitio import BitReader, BitWriter
+from ..io.inout import Input, Output
+from ..meta import Algorithm, Meta
+from ..ranges import LEN_MAX, MinDistributedRange, Range, bit_r, len_r, literal_r
+from ..stats.phase import StatPhase
+from .. import native
+from . import lzss_common
+
+
+def arrays_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
+    """ArraysComp.hpp:36-119 (native); mutates a copy of lcp."""
+    n = len(sa)
+    lcp_mut = np.ascontiguousarray(lcp, np.int32).copy()
+    lib = native.get_lib()
+    if lib is not None and n:
+        fpos = np.empty(n, np.uint32)
+        fsrc = np.empty(n, np.uint32)
+        flen = np.empty(n, np.uint32)
+        nf = lib.tdc_lcpcomp_arrays_factorize(
+            np.ascontiguousarray(sa, np.int32),
+            np.ascontiguousarray(isa, np.int32),
+            lcp_mut,
+            n,
+            threshold,
+            fpos,
+            fsrc,
+            flen,
+        )
+        return lzss_common.Factors(fpos[:nf].copy(), fsrc[:nf].copy(), flen[:nf].copy())
+    # python mirror
+    max_lcp = int(lcp_mut.max()) if n else 0
+    if max_lcp + 1 <= threshold:
+        return lzss_common.Factors([], [], [])
+    cand: list[list[int]] = [[] for _ in range(max_lcp + 1 - threshold)]
+    for i in range(1, n):
+        if lcp_mut[i] >= threshold:
+            cand[lcp_mut[i] - threshold].append(i)
+    fpos_l, fsrc_l, flen_l = [], [], []
+    for maxlcp in range(max_lcp, threshold - 1, -1):
+        col = cand[maxlcp - threshold]
+        for index in col:
+            lv = int(lcp_mut[index])
+            if lv < maxlcp:
+                if lv >= threshold:
+                    cand[lv - threshold].append(index)
+                continue
+            pos_target = int(sa[index])
+            fpos_l.append(pos_target)
+            fsrc_l.append(int(sa[index - 1]))
+            flen_l.append(lv)
+            for k in range(lv):
+                lcp_mut[isa[pos_target + k]] = 0
+            for k in range(min(lv, pos_target)):
+                ind = isa[pos_target - k - 1]
+                lcp_mut[ind] = min(k + 1, int(lcp_mut[ind]))
+        col.clear()
+    return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
+
+
+def sort_and_flatten(factors: lzss_common.Factors, flatten: bool) -> lzss_common.Factors:
+    order = np.argsort(factors.pos, kind="stable")
+    fpos = factors.pos[order].astype(np.uint32)
+    fsrc = factors.src[order].astype(np.uint32)
+    flen = factors.len[order].astype(np.uint32)
+    if flatten and len(fpos):
+        lib = native.get_lib()
+        if lib is not None:
+            fpos = np.ascontiguousarray(fpos)
+            fsrc = np.ascontiguousarray(fsrc)
+            flen = np.ascontiguousarray(flen)
+            lib.tdc_lcpcomp_flatten(fpos, fsrc, flen, len(fpos))
+        else:
+            map_size = int(fpos[-1] + flen[-1])
+            fmap = np.zeros(map_size, np.int64)
+            for i in range(len(fpos)):
+                fmap[fpos[i] : fpos[i] + flen[i]] = i + 1
+            for i in range(len(fpos)):
+                src = int(fsrc[i])
+                depth = 0
+                while src < map_size and fmap[src]:
+                    s = fmap[src] - 1
+                    d = src - int(fpos[s])
+                    if d + int(flen[i]) <= int(flen[s]):
+                        src = int(fsrc[s]) + d
+                        depth += 1
+                    else:
+                        break
+                if depth:
+                    fsrc[i] = src
+    return lzss_common.Factors(fpos, fsrc, flen)
+
+
+class _StrategyBase(Algorithm):
+    pass
+
+
+def _make_axis(algo_type, ident, doc, options=()):
+    class A(_StrategyBase):
+        @classmethod
+        def meta(cls) -> Meta:
+            m = Meta(algo_type, ident, doc)
+            for name, default in options:
+                m.option(name).dynamic(default)
+            return m
+
+    A.__name__ = f"{algo_type}_{ident}"
+    return A
+
+
+COMP_STRATEGIES = [
+    _make_axis("lcpcomp_comp", "arrays", "Bucket arrays by LCP value"),
+    _make_axis("lcpcomp_comp", "heap", "Max-LCP heap strategy"),
+    _make_axis("lcpcomp_comp", "maxlcp", "Max-LCP suffix list strategy"),
+    _make_axis("lcpcomp_comp", "plcppeaks", "PLCP peaks strategy"),
+]
+DEC_STRATEGIES = [
+    _make_axis("lcpcomp_dec", "scan", "Lazy scans + eager decoding", (("scans", 6),)),
+    _make_axis("lcpcomp_dec", "compact", "Compact forward-pointer decoding"),
+]
+
+
+class LCPCompressor(Compressor):
+    @classmethod
+    def meta(cls) -> Meta:
+        m = Meta("compressor", "lcpcomp", "LCP-based compressor (SEA'17)")
+        m.option("coder").templated("coder")
+        m.option("comp").templated("lcpcomp_comp", "arrays")
+        m.option("dec").templated("lcpcomp_dec", "scan")
+        m.option("threshold").dynamic(5)
+        m.option("flatten").dynamic(1)
+        m.uses_textds(flags.SA | flags.ISA | flags.LCP)
+        return m
+
+    def compress(self, inp: Input, out: Output) -> None:
+        text = inp.as_array()
+        with StatPhase("Construct Text DS"):
+            ds = TextDS(text)
+            sa = ds.require_sa()
+            isa = ds.require_isa()
+            lcp = ds.require_lcp()
+        threshold = self.env.option("threshold").as_integer()
+        with StatPhase("Factorize") as ph:
+            factors = arrays_factorize(sa, isa, lcp, threshold)
+            ph.log("threshold", threshold)
+            ph.log("factors", len(factors))
+        with StatPhase("Sort Factors"):
+            factors = sort_and_flatten(
+                factors, bool(self.env.option("flatten").as_integer())
+            )
+        with StatPhase("Encode Factors"):
+            coder_cls, coder_env = self.env.algorithm_for_option("coder")
+            w = BitWriter()
+            enc = coder_cls.Encoder(
+                coder_env, w, lzss_common.literal_feed(text, factors)
+            )
+            lzss_common.encode_text(enc, w, text, factors)
+            enc.finalize()
+            out.write(w.getvalue())
+
+    def decompress(self, inp: Input, out: Output) -> None:
+        coder_cls, coder_env = self.env.algorithm_for_option("coder")
+        r = BitReader(inp.as_bytes())
+        dec = coder_cls.Decoder(coder_env, r)
+        try:
+            scans = int(
+                self.env.env_for_option("dec").option("scans").as_integer()
+            )
+        except KeyError:
+            scans = 6
+
+        # stream parse (lcpcomp/decode_text_internal, LCPCompressor.hpp:24-76)
+        n = dec.decode(len_r)
+        text_r = Range(n)
+        flen_min = dec.decode(text_r)
+        flen_max = dec.decode(text_r)
+        flen_r = MinDistributedRange(flen_min, flen_max)
+        fdist_max = dec.decode(text_r)
+        fdist_r = Range(fdist_max)
+
+        buffer = np.zeros(n, dtype=np.uint8)
+        cursor = 0
+        tgt_l, src_l, len_l = [], [], []
+        while not dec.eof():
+            num = dec.decode(fdist_r) if dec.decode(bit_r) else 0
+            if num:
+                buffer[cursor : cursor + num] = dec.decode_array(num, literal_r)
+                cursor += num
+            if not dec.eof():
+                src = dec.decode(text_r)
+                ln = dec.decode(flen_r)
+                tgt_l.append(cursor)
+                src_l.append(src)
+                len_l.append(ln)
+                cursor += ln
+
+        with StatPhase("Scan Decoding"):
+            lib = native.get_lib()
+            tgt = np.array(tgt_l, np.uint32)
+            srcs = np.array(src_l, np.uint32)
+            lens = np.array(len_l, np.uint32)
+            if lib is not None:
+                rc = lib.tdc_lcpcomp_scan_decode(
+                    buffer, n, tgt, srcs, lens, len(tgt), scans
+                )
+                assert rc == 0, "undecodable lcpcomp stream"
+            else:
+                self._python_scan_decode(buffer, tgt, srcs, lens, scans)
+        out.write(buffer[:cursor])
+
+    @staticmethod
+    def _python_scan_decode(buffer, tgt0, src0, len0, scans):
+        tgt, srcs, lens = [], [], []
+        for j in range(len(tgt0)):
+            stored = False
+            for i in range(int(len0[j])):
+                sp = int(src0[j]) + i
+                if buffer[sp]:
+                    buffer[int(tgt0[j]) + i] = buffer[sp]
+                elif not stored:
+                    stored = True
+                    tgt.append(int(tgt0[j]) + i)
+                    srcs.append(sp)
+                    lens.append(int(len0[j]) - i)
+        for _ in range(scans):
+            for j in range(len(tgt)):
+                for i in range(lens[j]):
+                    buffer[tgt[j] + i] = buffer[srcs[j] + i]
+        n = len(buffer)
+        rank = np.full(n, -1, np.int64)
+        e = 0
+        for i in range(n):
+            if not buffer[i]:
+                rank[i] = e
+                e += 1
+        fwd: list[list[int]] = [[] for _ in range(e)]
+
+        def decode_literal_at(pos, c):
+            stack = [pos]
+            while stack:
+                p = stack.pop()
+                buffer[p] = c
+                r = rank[p]
+                if r >= 0 and fwd[r]:
+                    stack.extend(fwd[r])
+                    fwd[r] = []
+
+        for j in range(len(tgt)):
+            for i in range(lens[j]):
+                sp = srcs[j] + i
+                if buffer[sp]:
+                    decode_literal_at(tgt[j] + i, buffer[sp])
+                else:
+                    fwd[rank[sp]].append(tgt[j] + i)
+
+
+def register(registry):
+    registry.register(LCPCompressor)
+    for s in COMP_STRATEGIES + DEC_STRATEGIES:
+        registry.register(s)

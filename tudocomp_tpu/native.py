@@ -88,6 +88,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_lzss_window_parse.argtypes = [u8p, i64, i64, i64, u8p, u32p, u32p, u32p]
     lib.tdc_lzss_lcp_factorize.restype = i64
     lib.tdc_lzss_lcp_factorize.argtypes = [i32p, i32p, i32p, i64, i64, u32p, u32p, u32p]
+    lib.tdc_lcpcomp_arrays_factorize.restype = i64
+    lib.tdc_lcpcomp_arrays_factorize.argtypes = [
+        i32p,
+        i32p,
+        i32p,
+        i64,
+        i64,
+        u32p,
+        u32p,
+        u32p,
+    ]
+    lib.tdc_lcpcomp_flatten.restype = None
+    lib.tdc_lcpcomp_flatten.argtypes = [u32p, u32p, u32p, i64]
+    lib.tdc_lcpcomp_scan_decode.restype = ctypes.c_int32
+    lib.tdc_lcpcomp_scan_decode.argtypes = [u8p, i64, u32p, u32p, u32p, i64, i64]
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.tdc_arith_encode.restype = i64
     lib.tdc_arith_encode.argtypes = [u8p, i64, u32p, ctypes.c_uint64, u64p]
