@@ -727,6 +727,364 @@ int32_t tdc_lcpcomp_scan_decode(uint8_t* buffer, int64_t n,
     return 0;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ESP (Edit-Sensitive Parsing) round: split the current symbol string into
+// blocks of size 2/3 and name each block with a grammar rule. Exact mirror
+// of the reference round logic: metablock splitting
+// (esp/RoundContextImpl.hpp:17-55 split / :7-14 split_where), type-2
+// alphabet reduction + landmark spanning (esp/meta_blocks.hpp:65-180
+// eager_mb2, esp/landmarks.hpp:30-79 landmark_spanner tie-to-right),
+// type-1/3 chunking (meta_blocks.hpp:33-63 eager_mb13), block adjustment
+// (esp/BlockAdjust.hpp adjust_blocks) and rule naming in first-appearance
+// order (esp/GrammarRules.hpp add; 3-blocks split into two 2-rules).
+//
+// Symbol spaces: input symbols are 0..alphabet-1; new rule j is referred
+// to as alphabet + j inside rule pairs; out_next holds 0-based rule ids.
+
+namespace esp_native {
+
+struct TypedBlock {
+    uint8_t len;
+    uint8_t type;
+};
+
+inline size_t iter_log(size_t n) {  // esp/esp_math.hpp:8-14
+    if (n < 7) return 0;
+    if (n < 9) return 1;
+    if (n < 17) return 2;
+    if (n < 257) return 3;
+    return 4;
+}
+
+inline uint64_t esp_label(uint64_t left, uint64_t right) {  // esp_math.hpp:16
+    uint64_t diff = left ^ right;
+    unsigned l = (unsigned)__builtin_ctzll(diff);
+    return 2ull * l + ((right >> l) & 1);
+}
+
+inline bool needs_merge(const TypedBlock& a, const TypedBlock& b) {
+    return a.len == 1 || b.len == 1;
+}
+
+inline size_t merge(TypedBlock& a, TypedBlock& b, uint8_t type) {
+    size_t sum = a.len + b.len;
+    if (sum == 2) {
+        a.len = 2; b.len = 2; a.type = type; b.type = type; return 1;
+    } else if (sum == 3) {
+        a.len = 3; b.len = 3; a.type = type; b.type = type; return 1;
+    } else {
+        a.len = 2; b.len = 2; a.type = type; b.type = type; return 2;
+    }
+}
+
+// adjust_blocks with the reference's 3-slot queue (BlockAdjust.hpp:38-131)
+inline void adjust_blocks(std::vector<TypedBlock>& blocks) {
+    if (blocks.size() < 2) return;
+    std::vector<TypedBlock> q;  // front = q[0]
+    size_t read = 0, write = 0;
+    auto fill = [&]() {
+        while (q.size() < 3 && read < blocks.size()) q.push_back(blocks[read++]);
+    };
+    auto step = [&]() -> bool {
+        bool has_one = false;
+        for (auto& e : q)
+            if (e.len == 1) has_one = true;
+        if (!has_one) return false;
+        if (q.size() == 3) {
+            TypedBlock& a = q[1];
+            TypedBlock& b = q[2];
+            if (needs_merge(a, b) && a.type == 2 && b.type == 2) {
+                if (merge(a, b, 2) == 1) q.pop_back();
+                return true;
+            }
+        }
+        if (q.size() >= 2) {
+            TypedBlock& a = q[0];
+            TypedBlock& b = q[1];
+            if (needs_merge(a, b) && a.type == 2 && b.type == 2) {
+                if (merge(a, b, 2) == 1) q.erase(q.begin());
+                return true;
+            }
+            if (needs_merge(a, b) && a.type == 3) {
+                if (merge(a, b, 3) == 1) q.erase(q.begin());
+                return true;
+            }
+            if (needs_merge(a, b) && (a.type == 1 || b.type == 1)) {
+                if (merge(a, b, 1) == 1) q.erase(q.begin());
+                return true;
+            }
+        }
+        return false;  // v[0].len > 1 case
+    };
+    fill();
+    while (!q.empty()) {
+        do {
+            fill();
+        } while (step());
+        blocks[write++] = q.front();
+        q.erase(q.begin());
+    }
+    blocks.resize(write);
+}
+
+struct RoundState {
+    std::vector<TypedBlock> blocks;
+    std::vector<uint64_t> scratch;
+
+    void push_block(uint8_t len, uint8_t type) {
+        blocks.push_back(TypedBlock{len, type});
+    }
+
+    void eager_mb13(size_t len, uint8_t t) {  // meta_blocks.hpp:33-63
+        size_t remaining = len;
+        while (remaining) {
+            if (remaining == 4) { push_block(2, t); push_block(2, t); return; }
+            if (remaining == 3) { push_block(3, t); return; }
+            if (remaining == 2) { push_block(2, t); return; }
+            if (remaining == 1) { push_block(1, t); return; }
+            push_block(3, t);
+            remaining -= 3;
+        }
+    }
+
+    void eager_mb2(const uint32_t* A, size_t L, size_t alphabet) {
+        size_t t3 = std::min(iter_log(alphabet), L);
+        eager_mb13(t3, 3);
+        if (t3 == L) return;
+
+        auto& buf = scratch;
+        buf.assign(A, A + L);
+        for (size_t s = 0; s < t3; ++s) {  // reduce to alphabet <= 6
+            for (size_t i = 1; i < buf.size(); ++i)
+                buf[i - 1] = esp_label(buf[i - 1], buf[i]);
+            buf.pop_back();
+        }
+        // reduce to alphabet <= 3 (in-place neighbor-aware renaming)
+        const size_t B = buf.size();
+        for (uint64_t to_replace = 3; to_replace < 6; ++to_replace) {
+            for (size_t i = 0; i < B; ++i) {
+                if (buf[i] != to_replace) continue;
+                uint64_t nb[2];
+                int nn = 0;
+                if (i > 0) nb[nn++] = buf[i - 1];
+                if (i + 1 < B) nb[nn++] = buf[i + 1];
+                uint64_t e = 0;
+                for (int k = 0; k < nn; ++k)
+                    if (nb[k] == e) ++e;
+                for (int k = 0; k < nn; ++k)
+                    if (nb[k] == e) ++e;
+                buf[i] = e;
+            }
+        }
+        // landmarks
+        std::vector<uint8_t> lm(B, 0);
+        for (size_t i = 0; i < B; ++i) {
+            bool high = true;
+            if (i > 0 && buf[i - 1] > buf[i]) high = false;
+            if (i + 1 < B && buf[i + 1] > buf[i]) high = false;
+            if (high) lm[i] = 1;
+        }
+        for (size_t i = 0; i < B; ++i) {
+            bool low = true;
+            if (i > 0 && buf[i - 1] < buf[i]) low = false;
+            if (i + 1 < B && buf[i + 1] < buf[i]) low = false;
+            if (low) {
+                if ((i == 0 || lm[i - 1] == 0) && (i + 1 >= B || lm[i + 1] == 0))
+                    lm[i] = 1;
+            }
+        }
+        // landmark_spanner, tie_to_right = true (landmarks.hpp:30-79)
+        struct Block {
+            size_t left, right;
+        };
+        Block b0{0, 0}, b1{0, 0};
+        int bi = 0;
+        for (size_t i = 0; i < B; ++i) {
+            if (!lm[i]) continue;
+            b1.left = (i == 0) ? i : i - 1;
+            b1.right = (i == B - 1) ? i : i + 1;
+            if (bi > 0 && b1.left == b0.right) b0.right--;  // tie to right
+            if (bi == 0) {
+                bi = 1;
+            } else {
+                push_block((uint8_t)(b0.right - b0.left + 1), 2);
+            }
+            b0 = b1;
+        }
+        if (bi == 1) push_block((uint8_t)(b1.right - b1.left + 1), 2);
+    }
+};
+
+}  // namespace esp_native
+
+extern "C" {
+
+// One ESP round. out_next cap: n/2+1; rules_l/r cap: n+1.
+// Returns next length; *rules_count_out = number of new rules.
+int64_t tdc_esp_round(const uint32_t* src, int64_t n, int64_t alphabet,
+                      uint32_t* out_next, uint32_t* rules_l, uint32_t* rules_r,
+                      int64_t* rules_count_out) {
+    using namespace esp_native;
+    RoundState st;
+    // --- metablock split (RoundContextImpl.hpp:17-55)
+    int64_t i = 0;
+    while (i < n) {
+        // non-repeating scan: j = first j in [i, n-1) with src[j]==src[j+1]
+        int64_t j = n;
+        for (int64_t k = i; k < n - 1; ++k)
+            if (src[k] == src[k + 1]) {
+                j = k;
+                break;
+            }
+        if (j != i) {
+            st.eager_mb2(src + i, (size_t)(j - i), (size_t)alphabet);
+            i = j;
+        }
+        if (i >= n) break;
+        // repeating scan: first k with src[k]!=src[k+1], then +1
+        j = n;
+        for (int64_t k = i; k < n - 1; ++k)
+            if (src[k] != src[k + 1]) {
+                j = k + 1;
+                break;
+            }
+        if (j != i) {
+            st.eager_mb13((size_t)(j - i), 1);
+            i = j;
+        }
+    }
+    adjust_blocks(st.blocks);
+
+    // --- rule naming (GrammarRules semantics; dedup by hash)
+    HashTrie map((size_t)n + 16);
+    int64_t counter = 0;  // local 0-based rule ids
+    auto add2 = [&](uint64_t a, uint64_t b) -> uint32_t {
+        uint64_t key = (a << 32) | b;
+        uint32_t found = map.find_or_insert(key, (uint32_t)counter);
+        if (found == UINT32_MAX) {
+            rules_l[counter] = (uint32_t)a;
+            rules_r[counter] = (uint32_t)b;
+            return (uint32_t)counter++;
+        }
+        return found;
+    };
+    int64_t pos = 0;
+    int64_t m = 0;
+    for (auto& b : st.blocks) {
+        uint32_t name;
+        if (b.len == 2) {
+            name = add2(src[pos], src[pos + 1]);
+        } else {
+            uint32_t x = add2(src[pos], src[pos + 1]);
+            name = add2((uint64_t)alphabet + x, src[pos + 2]);
+        }
+        out_next[m++] = name;
+        pos += b.len;
+    }
+    if (pos != n) return -1;  // block coverage mismatch (should not happen)
+    *rules_count_out = counter;
+    return m;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// RePair grammar construction (exact mirror of RePairCompressor::compress,
+// compressors/RePairCompressor.hpp:96-177): rounds of count-most-frequent-
+// digram over a linked skip list, replace all its occurrences with a fresh
+// nonterminal. Tie-breaking matches the reference: the winning digram is
+// the first to *reach* the maximal count in scan order (including the
+// unordered_map iteration quirk being irrelevant since max is tracked
+// during the counting scan). text: in = bytes widened to u32, out = final
+// start-rule symbols compacted to the front (*seq_len). Returns #rules.
+int64_t tdc_repair_build(uint32_t* text, int64_t n, int64_t max_rules,
+                         uint32_t* rules_l, uint32_t* rules_r,
+                         int64_t* seq_len) {
+    if (max_rules == 0) max_rules = INT64_MAX;
+    std::vector<int64_t> next((size_t)n);
+    for (int64_t i = 0; i < n; ++i) next[i] = i + 1;
+    int64_t num_rules = 0;
+    if (n > 0) {
+        while (num_rules < max_rules) {
+            // count digrams
+            std::vector<uint64_t> keys;
+            std::vector<int64_t> cnt;
+            HashTrie map((size_t)1024);
+            uint64_t max_di = 0;
+            int64_t max_count = 0;
+            int64_t i = 0;
+            while (i < n - 1) {
+                int64_t j = next[i];
+                if (j >= n) break;
+                uint64_t di = ((uint64_t)text[i] << 32) | text[j];
+                uint32_t slot = map.find_or_insert(di, (uint32_t)cnt.size());
+                int64_t c;
+                if (slot == UINT32_MAX) {
+                    cnt.push_back(1);
+                    c = 1;
+                } else {
+                    c = ++cnt[slot];
+                }
+                if (c > max_count) {
+                    max_count = c;
+                    max_di = di;
+                }
+                i = j;
+            }
+            if (max_count <= 1) break;
+            uint32_t new_sym = 256 + (uint32_t)num_rules;
+            rules_l[num_rules] = (uint32_t)(max_di >> 32);
+            rules_r[num_rules] = (uint32_t)max_di;
+            ++num_rules;
+            i = 0;
+            while (i < n - 1) {
+                int64_t j = next[i];
+                if (j >= n) break;
+                uint64_t di = ((uint64_t)text[i] << 32) | text[j];
+                if (di == max_di) {
+                    text[i] = new_sym;
+                    next[i] = next[j];
+                }
+                i = next[i];
+            }
+        }
+    }
+    // compact the start rule
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i = next[i]) text[m++] = text[i];
+    *seq_len = m;
+    return num_rules;
+}
+
+// RePair expansion (RePairCompressor.hpp:274-284, recursion made
+// iterative). Returns output length, or -1 if cap exceeded.
+int64_t tdc_repair_expand(const uint32_t* rules_l, const uint32_t* rules_r,
+                          int64_t nrules, const uint32_t* seq, int64_t seq_len,
+                          uint8_t* out, int64_t cap) {
+    std::vector<uint32_t> stack;
+    int64_t pos = 0;
+    for (int64_t s = 0; s < seq_len; ++s) {
+        stack.push_back(seq[s]);
+        while (!stack.empty()) {
+            uint32_t x = stack.back();
+            stack.pop_back();
+            if (x < 256) {
+                if (pos >= cap) return -1;
+                out[pos++] = (uint8_t)x;
+            } else {
+                uint32_t r = x - 256;
+                if ((int64_t)r >= nrules) return -2;
+                stack.push_back(rules_r[r]);  // right expanded after left
+                stack.push_back(rules_l[r]);
+            }
+        }
+    }
+    return pos;
+}
+
 // Arithmetic (range) coder hot loops, mirror of coders/ArithmeticCoder.hpp:
 // 96-117 (setNewBounds) and :188-215 (block decode). C is the cumulative
 // normalized count table; a code block is flushed whenever the remaining

@@ -1,0 +1,92 @@
+"""ESP + RePair grammar compressor tests (mirror of test/esp_tests.cpp
+coverage goals at the roundtrip level plus cross-impl equality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.util import CORPUS, generator_strings, roundtrip
+from tudocomp_tpu import native
+from tudocomp_tpu.driver import compress, decompress
+
+
+class TestEsp:
+    def test_corpus(self):
+        for text in CORPUS:
+            roundtrip("esp", text)
+
+    def test_generators(self):
+        for text in generator_strings():
+            roundtrip("esp", text)
+
+    def test_round_cross_impl(self):
+        from tudocomp_tpu.compressors.esp import esp_round, esp_round_python
+
+        if native.get_lib() is None:
+            pytest.skip("no native lib")
+        rng = np.random.default_rng(0)
+        for t in range(40):
+            n = int(rng.integers(0, 300))
+            sigma = int(rng.choice([2, 3, 26, 200]))
+            s = rng.integers(0, sigma, n).astype(np.uint32)
+            a, b, c = esp_round(s, 256)
+            ap, bp, cp = esp_round_python(s, 256)
+            assert (a == ap).all() and (b == bp).all() and (c == cp).all(), t
+
+    def test_derivation_consistency(self):
+        # grammar derives the exact input (generate + derive without coder)
+        from tudocomp_tpu.compressors.esp import derive_text, generate_grammar
+
+        for text in (b"abcabcabc", b"aaaa", b"xy" * 100):
+            rules, root, empty = generate_grammar(np.frombuffer(text, np.uint8))
+            assert not empty
+            assert derive_text(rules, root) == text
+
+    def test_landmark_properties(self):
+        # every round's blocks are sized 2..3 and cover the string: implied
+        # by esp_round not raising and by derivation; explicit length check
+        from tudocomp_tpu.compressors.esp import esp_round
+
+        rng = np.random.default_rng(1)
+        s = rng.integers(0, 26, 1000).astype(np.uint32)
+        nxt, rl, rr = esp_round(s, 256)
+        assert len(nxt) >= len(s) // 3
+        assert len(nxt) <= len(s) // 2 + 1
+
+
+class TestRePair:
+    @pytest.mark.parametrize("coder", ["bit", "huff", "gamma"])
+    def test_corpus(self, coder):
+        for text in CORPUS:
+            roundtrip(f"repair(coder={coder})", text)
+
+    def test_max_rules(self):
+        data = b"abcabcabcabc" * 20
+        for mr in (0, 1, 5):
+            c = compress(f"repair(max_rules={mr})", data)
+            assert decompress(c) == data
+
+    def test_cross_impl(self):
+        from tudocomp_tpu.compressors.repair import repair_build, repair_expand
+
+        if native.get_lib() is None:
+            pytest.skip("no native lib")
+        orig = native.get_lib
+        rng = np.random.default_rng(2)
+        try:
+            for _ in range(20):
+                data = rng.integers(97, 101, int(rng.integers(0, 300))).astype(
+                    np.uint8
+                )
+                rn = repair_build(data, 0)
+                native.get_lib = lambda: None
+                rp = repair_build(data, 0)
+                ep = repair_expand(*rn)
+                native.get_lib = orig
+                en = repair_expand(*rn)
+                for x, y in zip(rn, rp):
+                    assert (x == y).all()
+                assert ep == en == data.tobytes()
+        finally:
+            native.get_lib = orig

@@ -103,6 +103,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_lcpcomp_flatten.argtypes = [u32p, u32p, u32p, i64]
     lib.tdc_lcpcomp_scan_decode.restype = ctypes.c_int32
     lib.tdc_lcpcomp_scan_decode.argtypes = [u8p, i64, u32p, u32p, u32p, i64, i64]
+    lib.tdc_esp_round.restype = i64
+    lib.tdc_esp_round.argtypes = [
+        u32p,
+        i64,
+        i64,
+        u32p,
+        u32p,
+        u32p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
+    lib.tdc_repair_build.restype = i64
+    lib.tdc_repair_build.argtypes = [
+        u32p,
+        i64,
+        i64,
+        u32p,
+        u32p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
+    lib.tdc_repair_expand.restype = i64
+    lib.tdc_repair_expand.argtypes = [u32p, u32p, i64, u32p, i64, u8p, i64]
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.tdc_arith_encode.restype = i64
     lib.tdc_arith_encode.argtypes = [u8p, i64, u32p, ctypes.c_uint64, u64p]

@@ -55,6 +55,22 @@ def block_histogram(block: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros(256, jnp.int32).at[block.astype(jnp.int32)].add(1)
 
 
+def _iota256():
+    return jax.lax.iota(jnp.int32, 256)
+
+
+def _rd(A, idx):
+    """One-hot read A[idx] — a VPU select+reduce, not a gather (gathers and
+    scatters inside vmapped fori_loop bodies cost ~100us each on TPU and
+    dominated the whole pipeline; see the stage benchmarks)."""
+    return jnp.sum(jnp.where(_iota256() == idx, A, 0))
+
+
+def _wr(A, idx, val):
+    """One-hot write A[idx] = val (masked select, not a scatter)."""
+    return jnp.where(_iota256() == idx, val, A)
+
+
 def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
     """Per-symbol Huffman code lengths from a [256] histogram.
 
@@ -74,26 +90,27 @@ def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
     A0 = sorted_key
 
     # ---- phase 1: weights -> parent pointers (Moffat fig. 1, first pass)
-    A_init = A0.at[0].add(A0[1])
+    A_init = _wr(A0, 0, A0[0] + A0[1])
 
     def p1_body(t, state):
         A, root, leaf = state
         active = t < m - 1
 
         def pick(A, root, leaf, allow_root_lt_t):
-            leaf_c = jnp.minimum(leaf, 255)
+            a_root = _rd(A, root)
+            a_leaf = _rd(A, leaf)
             root_ok = jnp.where(allow_root_lt_t, root < t, True)
-            use_root = (leaf >= m) | (root_ok & (A[root] < A[leaf_c]))
-            val = jnp.where(use_root, A[root], A[leaf_c])
-            A = jnp.where(use_root, A.at[root].set(t), A)
+            use_root = (leaf >= m) | (root_ok & (a_root < a_leaf))
+            val = jnp.where(use_root, a_root, a_leaf)
+            A = jnp.where(use_root, _wr(A, root, t), A)
             root = jnp.where(use_root, root + 1, root)
             leaf = jnp.where(use_root, leaf, leaf + 1)
             return val, A, root, leaf
 
         v1, A1, root1, leaf1 = pick(A, root, leaf, False)
-        A1 = A1.at[t].set(v1)
+        A1 = _wr(A1, t, v1)
         v2, A2, root2, leaf2 = pick(A1, root1, leaf1, True)
-        A2 = A2.at[t].add(v2)
+        A2 = _wr(A2, t, _rd(A2, t) + v2)
 
         A = jnp.where(active, A2, A)
         root = jnp.where(active, root2, root)
@@ -105,14 +122,14 @@ def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
     )
 
     # ---- phase 2: parent pointers -> internal depths (right to left)
-    A = A.at[jnp.maximum(m - 2, 0)].set(0)
+    A = _wr(A, jnp.maximum(m - 2, 0), 0)
 
     def p2_body(j, A):
         nxt = m - 3 - j
         active = nxt >= 0
         nxt_c = jnp.maximum(nxt, 0)
-        parent = A[jnp.minimum(A[nxt_c], 255)]
-        return jnp.where(active, A.at[nxt_c].set(parent + 1), A)
+        parent = _rd(A, _rd(A, nxt_c))
+        return jnp.where(active, _wr(A, nxt_c, parent + 1), A)
 
     A = jax.lax.fori_loop(0, 254, p2_body, A)
 
@@ -150,10 +167,14 @@ def canonical_codes(lengths: jnp.ndarray):
     numl = numl[1:]  # counts for lengths 1..MAX_LEN
 
     # firstcode[l-1] = (firstcode[l] + numl[l]) / 2, firstcode[longest-1] = 0
+    lpos = jnp.arange(MAX_LEN, dtype=jnp.int32)
+
     def fc_body(j, fc):
         i = MAX_LEN - 1 - j  # i from MAX_LEN-1 down to 1; set fc[i-1]
-        val = (fc[i] + numl[i]) >> 1
-        return fc.at[i - 1].set(jnp.where(i < longest, val, 0))
+        val = jnp.where(
+            i < longest, (jnp.sum(jnp.where(lpos == i, fc + numl, 0))) >> 1, 0
+        )
+        return jnp.where(lpos == i - 1, val, fc)
 
     firstcode = jax.lax.fori_loop(
         0, MAX_LEN - 1, fc_body, jnp.zeros(MAX_LEN, jnp.int32)
