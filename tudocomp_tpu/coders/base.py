@@ -191,6 +191,14 @@ class Decoder(Algorithm):
     def decode_array(self, count: int, r: Range) -> np.ndarray:
         if isinstance(r, BitRange):
             return self.r.read_ints(count, 1)
+        if type(self).decode is not Decoder.decode:
+            from ..ranges import LiteralRange
+
+            if isinstance(r, LiteralRange) and self.literal_fixed_width() is None:
+                # subclass decodes literals with variable-width codes
+                return np.array(
+                    [self.decode(r) for _ in range(count)], dtype=np.uint64
+                )
         return self.r.read_ints(count, bits_for(r.delta)) + np.uint64(r.min)
 
     def literal_fixed_width(self) -> int | None:

@@ -46,6 +46,11 @@ class ChainCompressor(Compressor):
         )
         second.decompress(inp, wrapped)
         mid = Input(wrapped.getvalue())
-        first.decompress(
-            mid, out.with_restrictions(rest1) if rest1.has_restrictions else out
-        )
+        if rest1.has_restrictions:
+            # unescape must apply where the data lands: materialize through
+            # a restricted buffer, then forward the unescaped bytes
+            tmp = Output(rest1)
+            first.decompress(mid, tmp)
+            out.write(tmp.getvalue())
+        else:
+            first.decompress(mid, out)

@@ -71,26 +71,22 @@ def _wr(A, idx, val):
     return jnp.where(_iota256() == idx, val, A)
 
 
-def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
-    """Per-symbol Huffman code lengths from a [256] histogram.
-
-    Returns [256] i32; 0 for absent symbols. Degenerate alphabets
-    (sigma <= 1) return all zeros — callers emit the flag-0 raw format.
-    """
+def _sort_hist(hist: jnp.ndarray):
+    """Sort effective symbols ascending by (count, symbol); absent -> +inf."""
     hist = hist.astype(jnp.int32)
     present = hist > 0
     sigma = jnp.sum(present.astype(jnp.int32))
-
-    # sort effective symbols ascending by (count, symbol); absent -> +inf key
     key = jnp.where(present, hist, _BIG)
     sym = jnp.arange(256, dtype=jnp.int32)
     sorted_key, sorted_sym = jax.lax.sort((key, sym), num_keys=2)
+    return sorted_key, sorted_sym, sigma
 
-    m = sigma  # effective alphabet size (dynamic)
-    A0 = sorted_key
 
-    # ---- phase 1: weights -> parent pointers (Moffat fig. 1, first pass)
-    A_init = _wr(A0, 0, A0[0] + A0[1])
+def _phase12_xla(sorted_key: jnp.ndarray, m):
+    """Moffat phases 1+2 as XLA loops with one-hot reads/writes (used on
+    CPU and for single histograms; the batched TPU path is the pallas
+    kernel in ops/pallas_kernels.py)."""
+    A_init = _wr(sorted_key, 0, sorted_key[0] + sorted_key[1])
 
     def p1_body(t, state):
         A, root, leaf = state
@@ -121,7 +117,6 @@ def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
         1, 255, p1_body, (A_init, jnp.int32(0), jnp.int32(2))
     )
 
-    # ---- phase 2: parent pointers -> internal depths (right to left)
     A = _wr(A, jnp.maximum(m - 2, 0), 0)
 
     def p2_body(j, A):
@@ -131,9 +126,12 @@ def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
         parent = _rd(A, _rd(A, nxt_c))
         return jnp.where(active, _wr(A, nxt_c, parent + 1), A)
 
-    A = jax.lax.fori_loop(0, 254, p2_body, A)
+    return jax.lax.fori_loop(0, 254, p2_body, A)
 
-    # ---- phase 3 (vectorized): internal-depth histogram -> leaves per depth
+
+def _phase3(A, sorted_sym, sigma):
+    """Internal depths -> per-symbol code lengths (vectorized)."""
+    m = sigma
     pos = jnp.arange(256, dtype=jnp.int32)
     internal = pos < m - 1
     idepth = jnp.where(internal, A, MAX_LEN + 1)
@@ -150,6 +148,29 @@ def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
 
     lengths = jnp.zeros(256, jnp.int32).at[sorted_sym].max(depth)
     return jnp.where(sigma >= 2, lengths, jnp.zeros(256, jnp.int32))
+
+
+def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
+    """Per-symbol Huffman code lengths from a [256] histogram.
+
+    Returns [256] i32; 0 for absent symbols. Degenerate alphabets
+    (sigma <= 1) return all zeros — callers emit the flag-0 raw format.
+    """
+    sorted_key, sorted_sym, sigma = _sort_hist(hist)
+    A = _phase12_xla(sorted_key, sigma)
+    return _phase3(A, sorted_sym, sigma)
+
+
+def code_lengths_batch(hists: jnp.ndarray) -> jnp.ndarray:
+    """[B, 256] histograms -> [B, 256] code lengths; pallas on TPU."""
+    keys, syms, sigmas = jax.vmap(_sort_hist)(hists)
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import moffat_phase12
+
+        A = moffat_phase12(keys, sigmas)
+    else:
+        A = jax.vmap(_phase12_xla)(keys, sigmas)
+    return jax.vmap(_phase3)(A, syms, sigmas)
 
 
 def canonical_codes(lengths: jnp.ndarray):
@@ -253,9 +274,8 @@ def huffman_table_tokens(numl, ordered_sym, sigma, longest):
     return jnp.concatenate(vals), jnp.concatenate(bits)
 
 
-def _encode_one_block(block, n_valid, hist, n_words, emit_table):
-    """Token stream + packed words for one block given its (shared) histogram."""
-    lengths = code_lengths(hist)
+def _encode_one_block(block, n_valid, lengths, n_words, emit_table):
+    """Token stream + packed words for one block given its code lengths."""
     cw, numl, ordered_sym, sigma, longest = canonical_codes(lengths)
 
     normal = sigma >= 2
@@ -290,9 +310,10 @@ def encode_blocks_with_hists(blocks, n_valid, hists, n_words, emit_table=True):
     """Encode blocks against given per-block histograms (tables derive from
     them; pass a broadcast psum'd histogram for the shared-table mode)."""
     assert blocks.shape[1] <= MAX_BLOCK, "block too large for 32-bit code tokens"
+    lengths = code_lengths_batch(hists)
     return jax.vmap(
-        lambda b, nv, h: _encode_one_block(b, nv, h, n_words, emit_table)
-    )(blocks, n_valid, hists)
+        lambda b, nv, ln: _encode_one_block(b, nv, ln, n_words, emit_table)
+    )(blocks, n_valid, lengths)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
