@@ -1,0 +1,99 @@
+"""lz78u + lfs compressor tests + suffix tree validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.util import CORPUS, generator_strings, roundtrip
+from tudocomp_tpu.driver import compress, decompress
+
+
+class TestSuffixTree:
+    def test_structure_vs_bruteforce(self):
+        from tudocomp_tpu.ds.suffix_array import naive_lcp, naive_suffix_array
+        from tudocomp_tpu.ds.suffix_tree import SuffixTree
+
+        rng = np.random.default_rng(0)
+        cases = [b"banana\0", b"aaaa\0", b"abcabc\0", b"\0", b"a\0",
+                 b"mississippi\0"]
+        for n in (10, 50, 200):
+            for sigma in (2, 4, 26):
+                cases.append(
+                    rng.integers(1, 1 + sigma, n).astype(np.uint8).tobytes() + b"\0"
+                )
+        for text in cases:
+            sa = naive_suffix_array(text)
+            lcp = naive_lcp(text, sa)
+            st = SuffixTree(sa, lcp)
+            n = len(text)
+            for r in range(n):
+                p = int(st.leaf_parent[r])
+                want = 0
+                if r > 0:
+                    want = max(want, int(lcp[r]))
+                if r + 1 < n:
+                    want = max(want, int(lcp[r + 1]))
+                assert st.sdepth[p] == want
+                ds = [int(st.sdepth[v]) for v in st.leaf_path(r)]
+                assert ds[0] == 0 and all(a < b for a, b in zip(ds, ds[1:]))
+
+
+class TestLZ78U:
+    @pytest.mark.parametrize(
+        "opts", ["", "(coder=ascii)", "(threshold=1)", "(threshold=10)"]
+    )
+    def test_corpus(self, opts):
+        for text in CORPUS:
+            roundtrip(f"lz78u{opts}", text)
+
+    def test_generators(self):
+        for text in generator_strings():
+            roundtrip("lz78u", text)
+
+    def test_compresses(self):
+        data = open("/root/repo/SURVEY.md", "rb").read()[:30000]
+        c = compress("lz78u", data)
+        assert decompress(c) == data
+        assert len(c) < len(data)
+
+
+class TestLFS:
+    @pytest.mark.parametrize(
+        "alg",
+        [
+            "lfs_comp",
+            "lfs_comp(coding_strat=lfs_enocde_strat(lfs_lit_coder=bit,"
+            " lfs_len_coder=delta))",
+        ],
+    )
+    def test_corpus(self, alg):
+        for text in CORPUS:
+            roundtrip(alg, text)
+
+    def test_generators(self):
+        for text in generator_strings():
+            roundtrip("lfs_comp", text)
+
+    def test_rules_nonoverlap(self):
+        from tudocomp_tpu.compressors.lfs import esa_compute_rules
+        from tudocomp_tpu.ds.textds import TextDS
+
+        rng = np.random.default_rng(1)
+        for _ in range(10):
+            n = int(rng.integers(10, 300))
+            text = np.concatenate(
+                [rng.integers(97, 101, n).astype(np.uint8), [0]]
+            ).astype(np.uint8)
+            ds = TextDS(text)
+            dictionary, nts = esa_compute_rules(
+                text, ds.require_sa(), ds.require_lcp()
+            )
+            # substituted regions must not overlap and must match their rule
+            covered = np.zeros(len(text), bool)
+            for pos, sym, length in nts:
+                assert not covered[pos : pos + length].any()
+                covered[pos : pos + length] = True
+                off, ln = dictionary[sym]
+                assert ln == length
+                assert (text[pos : pos + length] == text[off : off + ln]).all()

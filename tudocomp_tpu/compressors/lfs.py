@@ -1,0 +1,238 @@
+"""LFS — longest-first substitution compressor (id "lfs_comp").
+
+Mirror of compressors/lfs/LFSCompressor.hpp:28-106 with the enhanced-
+suffix-array computing strategy (lfs/ESAStrategy.hpp:15-235) and the
+literal/length coding strategy (lfs/EncodeStrategy.hpp:41-269):
+
+  compute:  bucket suffix-array positions by non-overlap-clamped LCP
+            length; from longest to shortest, collect the alive
+            occurrences of each repeating factor from its LCP interval,
+            greedily select non-overlapping ones (>= 2), mark them dead,
+            and record dictionary rule (offset, length) + per-occurrence
+            symbols (pos, rule, length), finally sorted by position.
+  encode:   delta-chain of rule lengths (len_coder, first in uint32_r,
+            deltas in Range(first)), rule strings (lit_coder literals),
+            then the start string as bit-flagged (literal | rule number in
+            Range(#rules)) items.
+
+The computing_strat axis registers "esa"; the suffix-tree variants of the
+reference (st/bst/sim_st, marked WIP there) share the esa implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..base import Compressor
+from ..ds import flags
+from ..ds.textds import TextDS
+from ..io.bitio import BitReader, BitWriter
+from ..io.inout import Input, Output
+from ..literals import NoLiterals, ViewLiterals
+from ..meta import Algorithm, Meta
+from ..ranges import Range, bit_r, literal_r
+from ..stats.phase import StatPhase
+
+UINT_MAX = 0xFFFFFFFF
+MIN_LRF = 2
+
+
+def esa_compute_rules(text: np.ndarray, sa, lcp):
+    """ESAStrategy::compute_rules (ESAStrategy.hpp:68-227)."""
+    n = len(text)
+    max_lcp = 0
+    lcp_bins: list[list[int]] = []
+    for i in range(1, n):
+        li = int(lcp[i])
+        if li >= MIN_LRF:
+            if max_lcp < li:
+                max_lcp = li
+                while len(lcp_bins) < max_lcp + 1:
+                    lcp_bins.append([])
+            dif = abs(int(sa[i - 1]) - int(sa[i]))
+            factor_length = min(li, dif)
+            j = i - 1
+            while j > 0 and int(lcp[j]) > factor_length:
+                alt = abs(int(sa[j]) - int(sa[i]))
+                if alt > dif:
+                    dif = alt
+                j -= 1
+            factor_length = min(li, dif)
+            lcp_bins[factor_length].append(i)
+
+    dictionary: list[tuple[int, int]] = []
+    nts: list[tuple[int, int, int]] = []
+    if len(lcp_bins) < MIN_LRF:
+        return dictionary, nts
+
+    dead = np.zeros(n, dtype=bool)
+    sym_num = 0
+    for lcp_len in range(len(lcp_bins) - 1, MIN_LRF - 1, -1):
+        for b in lcp_bins[lcp_len]:
+            starting = []
+            i = b
+            while i > 0 and int(lcp[i]) >= lcp_len:
+                s = int(sa[i - 1])
+                if not dead[s] and not dead[s + lcp_len - 1]:
+                    starting.append(s)
+                i -= 1
+            i = b
+            while i < n and int(lcp[i]) >= lcp_len:
+                s = int(sa[i])
+                if not dead[s] and not dead[s + lcp_len - 1]:
+                    starting.append(s)
+                i += 1
+            if len(starting) < 2:
+                continue
+            starting.sort()
+            selected = []
+            last = -lcp_len
+            for cur in starting:
+                if last + lcp_len <= cur:
+                    selected.append(cur)
+                    last = cur
+            if len(selected) < 2:
+                continue
+            offset = int(sa[b])
+            for s in selected:
+                dead[s : s + lcp_len] = True
+                nts.append((s, sym_num, lcp_len))
+            dictionary.append((offset, lcp_len))
+            sym_num += 1
+    nts.sort()
+    return dictionary, nts
+
+
+class ESAStrategy(Algorithm):
+    @classmethod
+    def meta(cls) -> Meta:
+        m = Meta("lfs_comp", "esa", "Enhanced suffix array strategy")
+        return m
+
+
+def _make_strategy(ident, doc):
+    class S(Algorithm):
+        @classmethod
+        def meta(cls) -> Meta:
+            return Meta("lfs_comp", ident, doc)
+
+    S.__name__ = f"LFS_{ident}"
+    return S
+
+
+class EncodeStrategy(Algorithm):
+    @classmethod
+    def meta(cls) -> Meta:
+        m = Meta("lfs_comp_enc", "lfs_enocde_strat", "LFS coding strategy")
+        m.option("lfs_lit_coder").templated("coder", "huff")
+        m.option("lfs_len_coder").templated("coder", "gamma")
+        return m
+
+
+class LFSCompressor(Compressor):
+    @classmethod
+    def meta(cls) -> Meta:
+        m = Meta("compressor", "lfs_comp", "LFS compression scheme")
+        m.needs_sentinel_terminator()
+        m.option("computing_strat").templated("lfs_comp", "esa")
+        m.option("coding_strat").templated("lfs_comp_enc", "lfs_enocde_strat")
+        m.uses_textds(flags.SA | flags.ISA | flags.LCP)
+        return m
+
+    def _coders(self, stream, encode: bool, literals=None):
+        strat_env = self.env.env_for_option("coding_strat")
+        lit_cls, lit_env = strat_env.algorithm_for_option("lfs_lit_coder")
+        len_cls, len_env = strat_env.algorithm_for_option("lfs_len_coder")
+        if encode:
+            return (
+                lit_cls.Encoder(lit_env, stream, literals),
+                len_cls.Encoder(len_env, stream, NoLiterals()),
+            )
+        return lit_cls.Decoder(lit_env, stream), len_cls.Decoder(len_env, stream)
+
+    def compress(self, inp: Input, out: Output) -> None:
+        text = inp.as_array()
+        dictionary: list[tuple[int, int]] = []
+        nts: list[tuple[int, int, int]] = []
+        if len(text) > 1:
+            with StatPhase("computing lrfs"):
+                ds = TextDS(text)
+                sa = ds.require_sa()
+                lcp = ds.require_lcp()
+                dictionary, nts = esa_compute_rules(text, sa, lcp)
+
+        with StatPhase("encoding input"):
+            w = BitWriter()
+            lit_coder, len_coder = self._coders(w, True, ViewLiterals(text))
+            intrange = Range(0, UINT_MAX)
+            if dictionary:
+                last_length = dictionary[0][1]
+                s_length_r = Range(0, last_length)
+                len_coder.encode(last_length, intrange)
+                for _, length in dictionary[1:]:
+                    len_coder.encode(last_length - length, s_length_r)
+                    last_length = length
+                len_coder.encode(last_length, s_length_r)
+            else:
+                len_coder.encode(0, intrange)
+
+            for offset, length in dictionary:
+                for k in range(length):
+                    lit_coder.encode(int(text[offset + k]), literal_r)
+
+            dict_r = Range(0, len(dictionary))
+            pos = 0
+            for start, sym, length in nts:
+                while pos < start:
+                    lit_coder.encode(0, bit_r)
+                    lit_coder.encode(int(text[pos]), literal_r)
+                    pos += 1
+                lit_coder.encode(1, bit_r)
+                lit_coder.encode(sym, dict_r)
+                pos += length
+            while pos < len(text):
+                lit_coder.encode(0, bit_r)
+                lit_coder.encode(int(text[pos]), literal_r)
+                pos += 1
+            lit_coder.finalize()
+            len_coder.finalize()
+            out.write(w.getvalue())
+
+    def decompress(self, inp: Input, out: Output) -> None:
+        r = BitReader(inp.as_bytes())
+        lit_dec, len_dec = self._coders(r, False)
+        int_r = Range(0, UINT_MAX)
+        symbol_length = int(len_dec.decode(int_r))
+        slength_r = Range(0, symbol_length)
+        dict_lengths = [symbol_length]
+        while symbol_length > 0:
+            delta = int(len_dec.decode(slength_r))
+            symbol_length -= delta
+            dict_lengths.append(symbol_length)
+        dict_lengths.pop()
+
+        dictionary = []
+        for ln in dict_lengths:
+            dictionary.append(
+                bytes(int(lit_dec.decode(literal_r)) & 0xFF for _ in range(ln))
+            )
+        dict_r = Range(0, len(dictionary))
+        outb = bytearray()
+        while not lit_dec.eof():
+            if lit_dec.decode(bit_r):
+                outb += dictionary[int(lit_dec.decode(dict_r))]
+            else:
+                outb.append(int(lit_dec.decode(literal_r)) & 0xFF)
+        out.write(bytes(outb))
+
+
+def register(registry):
+    registry.register(LFSCompressor)
+    registry.register(ESAStrategy)
+    registry.register(EncodeStrategy)
+    for ident, doc in (
+        ("st", "Suffix tree strategy"),
+        ("bst", "Binary suffix tree strategy"),
+        ("sim_st", "Simulated suffix tree strategy"),
+    ):
+        registry.register(_make_strategy(ident, doc))

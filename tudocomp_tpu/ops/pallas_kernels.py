@@ -20,10 +20,10 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (TPU backend)
 def _moffat_phase12_kernel(sigma_ref, keys_ref, a_ref):
     """Phases 1+2 of Moffat in-place code length calculation.
 
-    sigma_ref: [1, 1] SMEM; keys_ref/a_ref: [1, 256, 1] VMEM (sorted
-    ascending weights in; internal-node depths out in slots 0..m-2).
+    sigma_ref: [B] scalar-prefetch (SMEM); keys_ref/a_ref: [1, 256, 1] VMEM
+    (sorted ascending weights in; internal-node depths out, slots 0..m-2).
     """
-    m = sigma_ref[0, 0]
+    m = sigma_ref[pl.program_id(0)]
 
     a_ref[...] = keys_ref[...]
 
@@ -103,15 +103,18 @@ def moffat_phase12(sorted_keys: jnp.ndarray, sigmas: jnp.ndarray, interpret=None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     keys3 = sorted_keys.astype(jnp.int32).reshape(B, 256, 1)
-    out = pl.pallas_call(
-        _moffat_phase12_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 256, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 256, 1), lambda i, s: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 256, 1), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, 256, 1), lambda i, s: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _moffat_phase12_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 256, 1), jnp.int32),
         interpret=interpret,
-    )(sigmas.astype(jnp.int32).reshape(B, 1), keys3)
+    )(sigmas.astype(jnp.int32), keys3)
     return out.reshape(B, 256)
