@@ -17,7 +17,18 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: first-ever run pays the (slow, remote)
+    # compile; later runs hit the cache
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from tudocomp_tpu.ops.huffman_jax import encode_blocks
