@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Benchmark corpus tooling (mirror of etc/get_datasets.py +
+etc/datasets_config.py).
+
+The reference downloads Pizza&Chili / commoncrawl / wiki corpora
+(datasets_config.py:20-27). This environment has no network egress, so the
+tool has two modes:
+  - `--synthesize`: materialize deterministic synthetic stand-ins with the
+    statistical character of each corpus class (dna/english/sources/xml),
+    using the framework's generators; sizes in MiB.
+  - with network (real deployments): the documented URLs below.
+
+Usage: python etc/datasets.py --synthesize datasets/ --size 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# Pizza&Chili corpus URLs (datasets_config.py; for deployments with network)
+PIZZA_CHILI = {
+    "pc-dna": "http://pizzachili.dcc.uchile.cl/texts/dna/dna.gz",
+    "pc-english": "http://pizzachili.dcc.uchile.cl/texts/nlang/english.gz",
+    "pc-sources": "http://pizzachili.dcc.uchile.cl/texts/code/sources.gz",
+    "pc-dblp.xml": "http://pizzachili.dcc.uchile.cl/texts/xml/dblp.xml.gz",
+    "pc-proteins": "http://pizzachili.dcc.uchile.cl/texts/protein/proteins.gz",
+    "pcr-cere": "http://pizzachili.dcc.uchile.cl/repcorpus/real/cere.gz",
+    "pcr-einstein.en": "http://pizzachili.dcc.uchile.cl/repcorpus/real/einstein.en.txt.gz",
+}
+
+
+def synth_dna(rng, n):
+    return rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes()
+
+
+def synth_english(rng, n):
+    words = [w.encode() for w in (
+        "the quick brown fox jumps over lazy dog compression suffix array "
+        "grammar factorization entropy huffman lempel ziv welch text data "
+        "structure algorithm framework parallel device kernel"
+    ).split()]
+    out = bytearray()
+    while len(out) < n:
+        out += rng.choice(words)
+        out += b" " if rng.random() > 0.1 else b". "
+    return bytes(out[:n])
+
+
+def synth_sources(rng, n):
+    frag = open(os.path.join(os.path.dirname(__file__), "compare.py"), "rb").read()
+    reps = -(-n // len(frag))
+    data = bytearray(frag * reps)
+    # sprinkle random mutations for realistic repetitiveness
+    idx = rng.integers(0, len(data), len(data) // 200)
+    vals = rng.integers(32, 127, len(idx))
+    for i, v in zip(idx, vals):
+        data[i] = v
+    return bytes(data[:n])
+
+
+def synth_xml(rng, n):
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += (
+            f"<article key=\"a{i}\"><author>Name {int(rng.integers(0,999))}"
+            f"</author><title>Title {int(rng.integers(0,9999))}</title>"
+            f"<year>{int(rng.integers(1970, 2026))}</year></article>\n"
+        ).encode()
+        i += 1
+    return bytes(out[:n])
+
+
+SYNTHS = {
+    "dna": synth_dna,
+    "english": synth_english,
+    "sources": synth_sources,
+    "xml": synth_xml,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthesize", metavar="DIR", required=True)
+    ap.add_argument("--size", type=float, default=1.0, help="MiB per corpus")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+    os.makedirs(args.synthesize, exist_ok=True)
+    n = int(args.size * (1 << 20))
+    rng = np.random.default_rng(0)
+    for name, fn in SYNTHS.items():
+        if args.only and args.only != name:
+            continue
+        path = os.path.join(args.synthesize, f"{name}.{args.size:g}MB")
+        with open(path, "wb") as f:
+            f.write(fn(rng, n))
+        print(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -333,16 +333,142 @@ class PlainSLPCoder(Algorithm):
         return rules, root, empty
 
 
+def slp_dep_sort(rules: np.ndarray, root: int):
+    """BFS dependency sort over the left-child DAG (esp/SLPDepSort.hpp):
+    renames rules so left-hand sides are monotone non-decreasing."""
+    from collections import deque
+
+    R = len(rules)
+    total = R + 256
+    # children buckets keyed by left child, in ascending rule order
+    buckets: dict[int, list[int]] = {}
+    for j in range(R):
+        buckets.setdefault(int(rules[j][0]), []).append(j + 256)
+
+    rename = np.zeros(R, dtype=np.int64)
+    q = deque(range(256))
+    counter = 0
+    while q:
+        elem = q.popleft()
+        for child in buckets.get(elem, ()):
+            q.append(child)
+        if elem >= 256:
+            rename[elem - 256] = counter - 256
+        counter += 1
+    assert counter == total
+    renamed = np.zeros_like(rules)
+    for i in range(R):
+        pair = rules[i].copy()
+        for k in range(2):
+            if pair[k] > 255:
+                pair[k] = rename[pair[k] - 256] + 256
+        renamed[rename[i]] = pair
+    if root > 255:
+        root = int(rename[root - 256]) + 256
+    return renamed, root
+
+
+class DPlain(Algorithm):
+    @classmethod
+    def meta(cls) -> Meta:
+        return Meta("d_coding", "plain", "Plain D array encoding")
+
+    @staticmethod
+    def encode(w, rhs, bit_width, max_value):
+        w.write_ints(np.asarray(rhs, np.uint64), bit_width)
+
+    @staticmethod
+    def decode(r, count, bit_width, max_value):
+        return r.read_ints(count, bit_width).astype(np.int64)
+
+
+class DDiff(Algorithm):
+    """d_coding=diff (DRCoder.hpp:485-510): unary-coded signed diffs with
+    escape to plain when the delta is large (simplified: zig-zag unary with
+    bit_width escape)."""
+
+    @classmethod
+    def meta(cls) -> Meta:
+        return Meta("d_coding", "diff", "Unary-diff D array encoding")
+
+    ESC = 32  # unary length at which we escape to plain
+
+    @classmethod
+    def encode(cls, w, rhs, bit_width, max_value):
+        last = 0
+        for v in np.asarray(rhs, np.int64):
+            d = int(v) - last
+            zz = (d << 1) ^ (d >> 63)  # zig-zag
+            if zz < cls.ESC:
+                w.write_unary(zz)
+            else:
+                w.write_unary(cls.ESC)
+                w.write_int(int(v), bit_width)
+            last = int(v)
+
+    @classmethod
+    def decode(cls, r, count, bit_width, max_value):
+        out = np.zeros(count, np.int64)
+        last = 0
+        for i in range(count):
+            zz = r.read_unary()
+            if zz == cls.ESC:
+                v = r.read_int(bit_width)
+            else:
+                d = (zz >> 1) ^ -(zz & 1)
+                v = last + d
+            out[i] = v
+            last = v
+        return out
+
+
+D_CODINGS = {"plain": DPlain, "diff": DDiff}
+
+
 class SortedSLPCoder(Algorithm):
-    """SortedSLPCoder.hpp:10-176 — dependency-sorts the SLP so rule
-    left-hand sides are monotone, then codes them unary-delta. This build
-    implements the d_coding=plain variant."""
+    """SortedSLPCoder.hpp:10-176: dependency-sorts the SLP so rule
+    left-hand sides are monotone; header (6-bit width, max_val, root),
+    unary-delta LHS chain, then the RHS ("D") array via d_coding."""
 
     @classmethod
     def meta(cls) -> Meta:
         m = Meta("slp_coder", "sorted", "Sorted SLP encoding")
-        m.option("d_coding").dynamic("plain")
+        m.option("d_coding").templated("d_coding", "plain")
         return m
+
+    @staticmethod
+    def encode(w: BitWriter, rules, root, empty, d_coding=DPlain) -> None:
+        max_val = len(rules) + 256 - 1
+        bit_width = 0 if empty else bits_for(max_val)
+        if not empty and root >= 256:
+            rules, root = slp_dep_sort(rules, root)
+        w.write_int(bit_width, 6)
+        w.write_int(max_val if not empty else 0, bit_width)
+        w.write_int(root, bit_width)
+        if empty or root < 256:
+            return
+        last = 0
+        for e in rules:
+            w.write_unary(int(e[0]) - last)
+            last = int(e[0])
+        d_coding.encode(w, rules[:, 1], bit_width, max_val)
+
+    @staticmethod
+    def decode(r: BitReader, d_coding=DPlain):
+        bit_width = r.read_int(6)
+        empty = bit_width == 0
+        max_val = r.read_int(bit_width)
+        root = r.read_int(bit_width)
+        if empty or root < 256:
+            return np.zeros((0, 2), np.int64), root, empty
+        slp_size = (max_val + 1) - 256
+        lhs = np.zeros(slp_size, np.int64)
+        last = 0
+        for i in range(slp_size):
+            last += r.read_unary()
+            lhs[i] = last
+        rhs = d_coding.decode(r, slp_size, bit_width, max_val)
+        return np.stack([lhs, rhs], axis=1), root, empty
 
 
 class _IPD(Algorithm):
@@ -375,6 +501,14 @@ class EspCompressor(Compressor):
         m.option("ipd").templated("ipd", "std_unordered_map")
         return m
 
+    def _slp_coder(self):
+        av = self.env.option("slp_coder").as_algorithm()
+        if av.name == "sorted":
+            sub = av.options.get("d_coding")
+            d = D_CODINGS[sub.name if sub is not None else "plain"]
+            return SortedSLPCoder, d
+        return PlainSLPCoder, None
+
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
         with StatPhase("ESP Algorithm") as ph:
@@ -382,12 +516,20 @@ class EspCompressor(Compressor):
             ph.log("SLP size", len(rules))
         with StatPhase("Encode SLP"):
             w = BitWriter()
-            PlainSLPCoder.encode(w, rules, root, empty)
+            coder, d = self._slp_coder()
+            if d is not None:
+                coder.encode(w, rules, root, empty, d)
+            else:
+                coder.encode(w, rules, root, empty)
             out.write(w.getvalue())
 
     def decompress(self, inp: Input, out: Output) -> None:
         r = BitReader(inp.as_bytes())
-        rules, root, empty = PlainSLPCoder.decode(r)
+        coder, d = self._slp_coder()
+        if d is not None:
+            rules, root, empty = coder.decode(r, d)
+        else:
+            rules, root, empty = coder.decode(r)
         if not empty:
             out.write(derive_text(rules, root))
 
@@ -395,5 +537,8 @@ class EspCompressor(Compressor):
 def register(registry):
     registry.register(EspCompressor)
     registry.register(PlainSLPCoder)
+    registry.register(SortedSLPCoder)
+    registry.register(DPlain)
+    registry.register(DDiff)
     for i in IPDS:
         registry.register(i)

@@ -88,16 +88,16 @@ def rle_decode(data: np.ndarray, offset: int = 0) -> np.ndarray:
     # Since vbyte payloads can contain arbitrary bytes, do a scan in chunks
     # using python over run headers only (count of headers ~ number of runs).
     out_parts = []
+    # all adjacent-equal positions once; walk with binary search (skipping
+    # pairs inside vbyte payloads by advancing i past them)
+    pairs = np.flatnonzero(data[:-1] == data[1:])
     i = 0
-    prev = -1
-    # fast path: scan for next potential pair with numpy
     while i < n:
-        # find next j >= i with data[j] == prev_char at j (pair detection)
-        eq = np.flatnonzero(data[i:-1] == data[i + 1 : ]) if i < n - 1 else []
-        if len(eq) == 0:
+        k = int(np.searchsorted(pairs, i))
+        if k == len(pairs):
             out_parts.append(data[i:])
             break
-        j = i + int(eq[0])  # data[j] == data[j+1]
+        j = int(pairs[k])  # data[j] == data[j+1]
         out_parts.append(data[i : j + 2])
         c = data[j]
         # vbyte follows at j+2

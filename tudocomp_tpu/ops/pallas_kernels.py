@@ -28,10 +28,12 @@ def _moffat_phase12_kernel(sigma_ref, keys_ref, a_ref):
     a_ref[...] = keys_ref[...]
 
     def rd(i):
-        return a_ref[0, jnp.minimum(i, 255), 0]
+        return a_ref[0, pl.ds(jnp.minimum(i, 255), 1), :][0, 0]
 
     def wr(i, v):
-        a_ref[0, jnp.minimum(i, 255), 0] = v
+        a_ref[0, pl.ds(jnp.minimum(i, 255), 1), :] = jnp.full(
+            (1, 1), v, jnp.int32
+        )
 
     # phase 1: weights -> parent pointers (A[0] += A[1]; two picks per t)
     @pl.when(m >= 2)
