@@ -66,6 +66,7 @@ def register_all(registry: Registry = REGISTRY) -> Registry:
         "compressors.bwt",
         "compressors.lz78",
         "compressors.lzw",
+        "compressors.blockwise",
         "compressors.lzss",
         "compressors.lzss_lcp",
         "compressors.lcpcomp",
@@ -73,6 +74,7 @@ def register_all(registry: Registry = REGISTRY) -> Registry:
         "compressors.esp",
         "compressors.lz78u",
         "compressors.lfs",
+        "compressors.lfs2",
         "generators.generators",
     ):
         import importlib

@@ -17,85 +17,71 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (TPU backend)
 
 
-def _moffat_phase12_kernel(sigma_ref, keys_ref, a_ref):
-    """Phases 1+2 of Moffat in-place code length calculation.
-
-    sigma_ref: [B] scalar-prefetch (SMEM); keys_ref/a_ref: [1, 256, 1] VMEM
-    (sorted ascending weights in; internal-node depths out, slots 0..m-2).
+def _moffat_lockstep_kernel(sigma_ref, keys_ref, a_ref):
+    """Phases 1+2 of Moffat in-place code length calculation, all B blocks
+    advancing in lockstep (one program; blocks ride the sublane dim, the
+    256 array slots the lane dim). Dynamic per-block indices become
+    one-hot lane masks — pure VPU selects, no serialization over blocks.
     """
-    m = sigma_ref[pl.program_id(0)]
+    B = keys_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (B, 256), 1)
+    m = sigma_ref[...]  # [B, 1]
 
-    a_ref[...] = keys_ref[...]
-
-    def rd(i):
-        return a_ref[0, pl.ds(jnp.minimum(i, 255), 1), :][0, 0]
-
-    def wr(i, v):
-        a_ref[0, pl.ds(jnp.minimum(i, 255), 1), :] = jnp.full(
-            (1, 1), v, jnp.int32
+    def rd(A, idx):
+        return jnp.sum(
+            jnp.where(lanes == idx, A, 0), axis=1, keepdims=True
         )
 
-    # phase 1: weights -> parent pointers (A[0] += A[1]; two picks per t)
-    @pl.when(m >= 2)
-    def _():
-        wr(0, rd(0) + rd(1))
+    def wr(A, idx, val, mask):
+        return jnp.where((lanes == idx) & mask, val, A)
+
+    A0 = keys_ref[...]
+    A = wr(A0, 0, rd(A0, 0) + rd(A0, 1), m >= 2)
 
     def p1_body(t, carry):
-        root, leaf = carry
+        A, root, leaf = carry
         active = t < m - 1
 
-        a_root = rd(root)
-        a_leaf = rd(leaf)
-        use_root1 = (leaf >= m) | (a_root < a_leaf)
-        v1 = jnp.where(use_root1, a_root, a_leaf)
+        a_root = rd(A, root)
+        a_leaf = rd(A, leaf)
+        use1 = (leaf >= m) | (a_root < a_leaf)
+        v1 = jnp.where(use1, a_root, a_leaf)
+        A = wr(A, root, t, active & use1)
+        root1 = jnp.where(use1, root + 1, root)
+        leaf1 = jnp.where(use1, leaf, leaf + 1)
+        A = wr(A, t, v1, active)
 
-        @pl.when(active & use_root1)
-        def _():
-            wr(root, t)
-
-        root1 = jnp.where(use_root1, root + 1, root)
-        leaf1 = jnp.where(use_root1, leaf, leaf + 1)
-
-        a_root2 = rd(root1)
-        a_leaf2 = rd(leaf1)
-        use_root2 = (leaf1 >= m) | ((root1 < t) & (a_root2 < a_leaf2))
-        v2 = jnp.where(use_root2, a_root2, a_leaf2)
-
-        @pl.when(active & use_root2)
-        def _():
-            wr(root1, t)
-
-        root2 = jnp.where(use_root2, root1 + 1, root1)
-        leaf2 = jnp.where(use_root2, leaf1, leaf1 + 1)
-
-        @pl.when(active)
-        def _():
-            wr(t, v1 + v2)
+        a_root2 = rd(A, root1)
+        a_leaf2 = rd(A, leaf1)
+        use2 = (leaf1 >= m) | ((root1 < t) & (a_root2 < a_leaf2))
+        v2 = jnp.where(use2, a_root2, a_leaf2)
+        A = wr(A, root1, t, active & use2)
+        root2 = jnp.where(use2, root1 + 1, root1)
+        leaf2 = jnp.where(use2, leaf1, leaf1 + 1)
+        A = wr(A, t, v1 + v2, active)
 
         root = jnp.where(active, root2, root)
         leaf = jnp.where(active, leaf2, leaf)
-        return root, leaf
+        return A, root, leaf
 
-    jax.lax.fori_loop(1, 255, p1_body, (jnp.int32(0), jnp.int32(2)))
+    A, _, _ = jax.lax.fori_loop(
+        1,
+        255,
+        p1_body,
+        (A, jnp.zeros((B, 1), jnp.int32), jnp.full((B, 1), 2, jnp.int32)),
+    )
 
-    # phase 2: parent pointers -> internal depths, right to left
-    @pl.when(m >= 2)
-    def _():
-        wr(jnp.maximum(m - 2, 0), 0)
+    A = wr(A, jnp.maximum(m - 2, 0), 0, m >= 2)
 
-    def p2_body(j, _):
+    def p2_body(j, A):
         nxt = m - 3 - j
         active = nxt >= 0
         nxt_c = jnp.maximum(nxt, 0)
-        parent = rd(rd(nxt_c))
+        parent = rd(A, rd(A, nxt_c))
+        return wr(A, nxt_c, parent + 1, active)
 
-        @pl.when(active)
-        def _():
-            wr(nxt_c, parent + 1)
-
-        return 0
-
-    jax.lax.fori_loop(0, 254, p2_body, 0)
+    A = jax.lax.fori_loop(0, 254, p2_body, A)
+    a_ref[...] = A
 
 
 def moffat_phase12(sorted_keys: jnp.ndarray, sigmas: jnp.ndarray, interpret=None):
@@ -104,19 +90,14 @@ def moffat_phase12(sorted_keys: jnp.ndarray, sigmas: jnp.ndarray, interpret=None
     B = sorted_keys.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    keys3 = sorted_keys.astype(jnp.int32).reshape(B, 256, 1)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 256, 1), lambda i, s: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 256, 1), lambda i, s: (i, 0, 0)),
-    )
     out = pl.pallas_call(
-        _moffat_phase12_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 256, 1), jnp.int32),
+        _moffat_lockstep_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 256), jnp.int32),
         interpret=interpret,
-    )(sigmas.astype(jnp.int32), keys3)
-    return out.reshape(B, 256)
+    )(sigmas.astype(jnp.int32).reshape(B, 1), sorted_keys.astype(jnp.int32))
+    return out

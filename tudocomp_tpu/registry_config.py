@@ -89,5 +89,7 @@ def compressor_matrix(fast: bool = False) -> list[str]:
             f"{strat}, coding_strat=lfs_enocde_strat("
             f"lfs_lit_coder={lit}, lfs_len_coder={ln}))"
         )
+    ids += ["lfs2", "lfs2bst"]
+    ids += ["blockwise(encode(huff), bs=16384)", "blockwise(lzw, bs=16384)"]
     ids += ["chain(bwt, chain(rle, chain(mtf, encode(huff))))"]
     return ids
