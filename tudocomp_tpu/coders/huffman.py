@@ -255,6 +255,23 @@ class HuffmanCoder:
             valid = self.r._valid
             out = []
             if self._lut is not None:
+                from .. import native
+
+                lib = native.get_lib()
+                if lib is not None:
+                    lut_sym, lut_len = self._lut
+                    cap = count if count is not None else max(1, valid - pos)
+                    buf = np.empty(cap, dtype=np.uint8)
+                    data = np.frombuffer(self.r._data, dtype=np.uint8)
+                    got = lib.tdc_huffman_decode(
+                        data, pos, valid, lut_sym, lut_len, t.longest, buf, cap
+                    )
+                    res = buf[:got]
+                    # advance the reader by the decoded codeword lengths
+                    sym_len = np.zeros(256, np.int64)
+                    sym_len[t.ordered_map_from_effective] = t.ordered_codelengths
+                    self.r._pos = min(valid, pos + int(sym_len[res].sum()))
+                    return res.copy()
                 lut_sym, lut_len = self._lut
                 L = t.longest
                 # pack remaining bits into one big python int window walk
