@@ -258,6 +258,39 @@ int64_t tdc_lzw_decode(const uint32_t* codes, int64_t nf, uint8_t* out,
     return pos;
 }
 
+// RLE decode (RunLengthEncoder.hpp:37-50): a doubled character announces a
+// run header followed by a vbyte run length (+offset). Returns output
+// length, or -1 if cap exceeded.
+int64_t tdc_rle_decode(const uint8_t* in, int64_t n, int64_t offset,
+                       uint8_t* out, int64_t cap) {
+    int64_t pos = 0;
+    int64_t i = 0;
+    int last = -1;
+    while (i < n) {
+        uint8_t c = in[i++];
+        if (pos >= cap) return -1;
+        out[pos++] = c;
+        if ((int)c == last) {
+            // vbyte run length follows
+            uint64_t run = 0;
+            int shift = 0;
+            while (i < n) {
+                uint8_t b = in[i++];
+                run |= (uint64_t)(b & 0x7F) << shift;
+                shift += 7;
+                if (!(b & 0x80)) break;
+            }
+            int64_t r = (int64_t)run - offset;
+            if (pos + (r > 0 ? r : 0) > cap) return -1;
+            for (int64_t k = 0; k < r; ++k) out[pos++] = c;
+            last = -1;  // run consumed; next char starts fresh
+        } else {
+            last = c;
+        }
+    }
+    return pos;
+}
+
 // MTF decode: exact 256-entry table simulation
 // (compressors/MTFCompressor.hpp:36-43).
 void tdc_mtf_decode(const uint8_t* in, int64_t n, uint8_t* out) {
@@ -284,6 +317,84 @@ void tdc_mtf_encode(const uint8_t* in, int64_t n, uint8_t* out) {
         table[0] = c;
         out[i] = (uint8_t)v;
     }
+}
+
+// Append (value, nbits) tokens MSB-first into a byte buffer starting at
+// bit offset start_bit (buffer must be zeroed). Values must be pre-masked
+// to their widths. Returns the new bit position. This is the host-side
+// pack twin of ops/bitpack.py (device) and the hot path of BitWriter.
+int64_t tdc_pack_tokens(const uint64_t* vals, const int64_t* nbits, int64_t n,
+                        uint8_t* out, int64_t start_bit) {
+    int64_t pos = start_bit;
+    for (int64_t i = 0; i < n; ++i) {
+        int w = (int)nbits[i];
+        uint64_t v = vals[i];
+        while (w > 0) {
+            int free_bits = 8 - (int)(pos & 7);
+            int take = free_bits < w ? free_bits : w;
+            uint8_t chunk = (uint8_t)((v >> (w - take)) & ((1u << take) - 1));
+            out[pos >> 3] |= (uint8_t)(chunk << (free_bits - take));
+            pos += take;
+            w -= take;
+        }
+    }
+    return pos;
+}
+
+// Read n MSB-first tokens of the given widths from a byte buffer starting
+// at bit offset start_bit. Returns the new bit position. Reverse twin of
+// tdc_pack_tokens; the host-side batch path of BitReader.
+int64_t tdc_read_tokens(const uint8_t* data, int64_t nbytes, int64_t start_bit,
+                        const int64_t* nbits, int64_t n, uint64_t* out) {
+    int64_t pos = start_bit;
+    const int64_t total_bits = nbytes * 8;
+    for (int64_t i = 0; i < n; ++i) {
+        int w = (int)nbits[i];
+        uint64_t v = 0;
+        while (w > 0) {
+            int avail = 8 - (int)(pos & 7);
+            int take = avail < w ? avail : w;
+            uint8_t byte = (pos >> 3) < nbytes ? data[pos >> 3] : 0;
+            uint8_t chunk = (uint8_t)((byte >> (avail - take)) & ((1u << take) - 1));
+            v = (v << take) | chunk;
+            pos += take;
+            w -= take;
+        }
+        // bits past the buffer read as 0 (BitIStream EOF semantics handled
+        // by the caller via valid-bit accounting)
+        (void)total_bits;
+        out[i] = v;
+    }
+    return pos;
+}
+
+// Canonical Huffman decode without a LUT (for long codes): per symbol,
+// extend the codeword bit by bit until value >= firstcode[length-1]
+// (HuffmanCoder.hpp:584-609 decode semantics). firstcodes/psl indexed by
+// length-1, sized `longest`. Returns symbol count.
+int64_t tdc_huffman_decode_canonical(const uint8_t* data, int64_t start_bit,
+                                     int64_t valid_bits,
+                                     const uint64_t* firstcodes,
+                                     const int64_t* psl,
+                                     const uint8_t* ordered_syms,
+                                     int32_t longest, uint8_t* out,
+                                     int64_t max_symbols) {
+    int64_t pos = start_bit;
+    int64_t count = 0;
+    while (count < max_symbols && pos < valid_bits) {
+        uint64_t value = 0;
+        int len = 0;
+        while (len < longest) {
+            int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+            ++pos;
+            value = (value << 1) | (uint64_t)bit;
+            ++len;
+            if (value >= firstcodes[len - 1]) break;
+        }
+        out[count++] =
+            ordered_syms[psl[len - 1] + (int64_t)(value - firstcodes[len - 1])];
+    }
+    return count;
 }
 
 // Canonical Huffman bulk decode over an MSB-first bitstream.

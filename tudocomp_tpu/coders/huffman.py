@@ -166,9 +166,11 @@ class HuffmanCoder:
             if isinstance(r, LiteralRange):
                 values = np.asarray(values, dtype=np.uint8)
                 if self.table is None:
-                    self.w.write_ints(values.astype(np.uint64), 8)
+                    self.w.write_ints(values.astype(np.uint64), 8, masked=True)
                 else:
-                    self.w.write_ints(self._cw[values], self._cl[values])
+                    self.w.write_ints(
+                        self._cw[values], self._cl[values], masked=True
+                    )
             else:
                 super().encode_array(values, r)
 
@@ -247,31 +249,46 @@ class HuffmanCoder:
                 return self.r.read_ints(n, 8).astype(np.uint8)
             return self._bulk_decode(None)
 
+        def _native_tables(self):
+            if not hasattr(self, "_nt"):
+                t = self.table
+                sym_len = np.zeros(256, np.int64)
+                sym_len[t.ordered_map_from_effective] = t.ordered_codelengths
+                data = np.frombuffer(self.r._data, dtype=np.uint8)
+                fc = np.ascontiguousarray(t.firstcodes, np.uint64)
+                psl = np.ascontiguousarray(self._psl, np.int64)
+                syms = np.ascontiguousarray(t.ordered_map_from_effective, np.uint8)
+                self._nt = (sym_len, data, fc, psl, syms)
+            return self._nt
+
         def _bulk_decode(self, count) -> np.ndarray:
             """Table-driven sequential decode with a byte accumulator."""
             t = self.table
-            bits = self.r._bits
             pos = self.r.pos
             valid = self.r._valid
             out = []
-            if self._lut is not None:
-                from .. import native
+            from .. import native
 
-                lib = native.get_lib()
-                if lib is not None:
+            lib = native.get_lib()
+            if lib is not None:
+                sym_len, data, fc, psl, syms = self._native_tables()
+                cap = count if count is not None else max(1, valid - pos)
+                buf = np.empty(cap, dtype=np.uint8)
+                if self._lut is not None:
                     lut_sym, lut_len = self._lut
-                    cap = count if count is not None else max(1, valid - pos)
-                    buf = np.empty(cap, dtype=np.uint8)
-                    data = np.frombuffer(self.r._data, dtype=np.uint8)
                     got = lib.tdc_huffman_decode(
                         data, pos, valid, lut_sym, lut_len, t.longest, buf, cap
                     )
-                    res = buf[:got]
-                    # advance the reader by the decoded codeword lengths
-                    sym_len = np.zeros(256, np.int64)
-                    sym_len[t.ordered_map_from_effective] = t.ordered_codelengths
-                    self.r._pos = min(valid, pos + int(sym_len[res].sum()))
-                    return res.copy()
+                else:
+                    got = lib.tdc_huffman_decode_canonical(
+                        data, pos, valid, fc, psl, syms, t.longest, buf, cap
+                    )
+                res = buf[:got]
+                # advance the reader by the decoded codeword lengths
+                self.r._pos = min(valid, pos + int(sym_len[res].sum()))
+                return res.copy()
+            bits = self.r._bits
+            if self._lut is not None:
                 lut_sym, lut_len = self._lut
                 L = t.longest
                 # pack remaining bits into one big python int window walk

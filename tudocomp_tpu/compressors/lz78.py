@@ -148,11 +148,12 @@ class LZ78Compressor(Compressor):
             if nf > 0 and cum[nf - 1] != total:
                 # trailing garbage tolerance: decode greedily like reference
                 nf = int(np.searchsorted(cum, total, side="left"))
-            parents = np.zeros(nf, np.uint32)
-            chars = np.zeros(nf, np.uint8)
-            for i in range(nf):
-                parents[i] = r.read_int(int(widths[i]) - 8)
-                chars[i] = r.read_int(8)
+            tok_w = np.stack(
+                [widths[:nf].astype(np.int64) - 8, np.full(nf, 8, np.int64)], 1
+            ).ravel()
+            toks = r.read_tokens(tok_w)
+            parents = toks[0::2].astype(np.uint32)
+            chars = toks[1::2].astype(np.uint8)
             out.write(lz78_expand(parents, chars))
             return
         parents_l = []

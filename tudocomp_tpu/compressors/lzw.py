@@ -142,9 +142,7 @@ class LZWCompressor(Compressor):
             widths = bits_for_arr(np.arange(nf_hi, dtype=np.uint64) + 256)
             cum = np.cumsum(widths)
             nf = int(np.searchsorted(cum, total, side="right"))
-            codes = np.zeros(nf, np.uint32)
-            for i in range(nf):
-                codes[i] = r.read_int(int(widths[i]))
+            codes = r.read_tokens(widths[:nf].astype(np.int64)).astype(np.uint32)
             out.write(lzw_expand(codes))
             return
         codes_l = []

@@ -81,6 +81,18 @@ def rle_decode(data: np.ndarray, offset: int = 0) -> np.ndarray:
     n = len(data)
     if n == 0:
         return data
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        data_c = np.ascontiguousarray(data, np.uint8)
+        cap = max(64, 4 * n)
+        while True:
+            out = np.empty(cap, np.uint8)
+            got = lib.tdc_rle_decode(data_c, n, offset, out, cap)
+            if got >= 0:
+                return out[:got]
+            cap *= 4
     # Parse sequentially-structured stream vectorized: a double character
     # marks a run header followed by a vbyte. We walk the stream in passes:
     # find all positions where data[i] == data[i-1] — but only those not
@@ -129,15 +141,31 @@ class RunLengthEncoder(Compressor):
 
 
 def mtf_encode(data: np.ndarray) -> np.ndarray:
-    """MTF encode. Host path: exact table simulation in numpy-accelerated
-    chunks; see tudocomp_tpu.ops.mtf for the O(n*sigma) data-parallel device
-    formulation (rank = #distinct chars since previous occurrence)."""
+    """MTF encode: native table simulation (tdc_mtf_encode); numpy-chunked
+    fallback; see tudocomp_tpu.ops.mtf for the O(n*sigma) data-parallel
+    device formulation (rank = #distinct chars since previous occurrence)."""
+    from .. import native
+
+    data = np.ascontiguousarray(data, np.uint8)
+    lib = native.get_lib()
+    if lib is not None and len(data):
+        out = np.empty(len(data), np.uint8)
+        lib.tdc_mtf_encode(data, len(data), out)
+        return out
     from ..ops.mtf import mtf_encode_host
 
     return mtf_encode_host(data)
 
 
 def mtf_decode(data: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    data = np.ascontiguousarray(data, np.uint8)
+    lib = native.get_lib()
+    if lib is not None and len(data):
+        out = np.empty(len(data), np.uint8)
+        lib.tdc_mtf_decode(data, len(data), out)
+        return out
     from ..ops.mtf import mtf_decode_host
 
     return mtf_decode_host(data)

@@ -140,23 +140,29 @@ class BitWriter:
         if len(self._vals) >= _FLUSH_THRESHOLD:
             self._flush_scalars()
 
-    def write_ints(self, values, nbits) -> None:
-        """Vectorized write of many (value, nbits<=64) tokens."""
-        values = np.asarray(values, dtype=np.uint64).ravel()
+    def write_ints(self, values, nbits, masked: bool = False) -> None:
+        """Vectorized write of many (value, nbits<=64) tokens.
+
+        With masked=True the caller guarantees each value already fits its
+        declared width (skips the masking pass)."""
+        if values.dtype != np.uint64 if isinstance(values, np.ndarray) else True:
+            values = np.asarray(values, dtype=np.uint64)
+        values = values.ravel()
         if np.isscalar(nbits) or getattr(nbits, "ndim", 0) == 0:
             nb = np.full(values.shape, int(nbits), dtype=np.int64)
         else:
             nb = np.asarray(nbits, dtype=np.int64).ravel()
         if len(values) == 0:
             return
-        # mask values to their declared widths
-        mask = np.where(
-            nb >= 64,
-            np.uint64(0xFFFFFFFFFFFFFFFF),
-            (np.uint64(1) << nb.astype(np.uint64)) - np.uint64(1),
-        )
+        if not masked:
+            mask = np.where(
+                nb >= 64,
+                np.uint64(0xFFFFFFFFFFFFFFFF),
+                (np.uint64(1) << nb.astype(np.uint64)) - np.uint64(1),
+            )
+            values = values & mask
         self._flush_scalars()
-        self._chunks.append((values & mask, nb))
+        self._chunks.append((values, nb))
         self._nbits_total += int(nb.sum())
 
     # -- universal codes ----------------------------------------------------
@@ -252,9 +258,30 @@ class BitWriter:
         return np.concatenate(parts)
 
     def getvalue(self) -> bytes:
-        bits = self.bit_array()
-        total = len(bits)
-        packed = np.packbits(bits) if total else np.zeros(0, dtype=np.uint8)
+        self._flush_scalars()
+        total = self._nbits_total
+        from .. import native
+
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "tdc_pack_tokens"):
+            nbytes = (total + 7) // 8
+            out = np.zeros(max(nbytes, 1), dtype=np.uint8)
+            pos = 0
+            for v, b in self._chunks:
+                if len(v) == 0:
+                    continue
+                pos = lib.tdc_pack_tokens(
+                    np.ascontiguousarray(v, np.uint64),
+                    np.ascontiguousarray(b, np.int64),
+                    len(v),
+                    out,
+                    pos,
+                )
+            assert pos == total, (pos, total)
+            packed = out[:nbytes]
+        else:
+            bits = self.bit_array()
+            packed = np.packbits(bits) if total else np.zeros(0, dtype=np.uint8)
         rem = total % 8
         if 1 <= rem <= 5:
             packed[-1] |= rem
@@ -272,12 +299,20 @@ class BitReader:
     """Bit reader over a complete tudocomp bitstream byte string."""
 
     def __init__(self, data: bytes):
-        self._data = data
-        arr = np.frombuffer(data, dtype=np.uint8)
-        self._bits = np.unpackbits(arr) if len(arr) else np.zeros(0, dtype=np.uint8)
-        self._valid = valid_bit_count(data)
+        self._data = bytes(data)
+        self._valid = valid_bit_count(self._data)
         self._pos = 0
+        self._bits_cache = None  # lazy unpacked bit array (vector paths)
         self._ones = None  # lazy: positions of 1-bits for fast unary reads
+
+    @property
+    def _bits(self) -> np.ndarray:
+        if self._bits_cache is None:
+            arr = np.frombuffer(self._data, dtype=np.uint8)
+            self._bits_cache = (
+                np.unpackbits(arr) if len(arr) else np.zeros(0, dtype=np.uint8)
+            )
+        return self._bits_cache
 
     @property
     def pos(self) -> int:
@@ -289,24 +324,35 @@ class BitReader:
     def read_bit(self) -> int:
         if self._pos >= self._valid:
             return 0
-        b = int(self._bits[self._pos])
-        self._pos += 1
-        return b
+        p = self._pos
+        self._pos = p + 1
+        return (self._data[p >> 3] >> (7 - (p & 7))) & 1
 
     def read_int(self, bits: int) -> int:
         bits = int(bits)
         if bits == 0:
             return 0
-        end = self._pos + bits
-        chunk = self._bits[self._pos : min(end, self._valid)]
-        self._pos = end
-        v = 0
-        for bit in chunk:
-            v = (v << 1) | int(bit)
+        pos = self._pos
+        end = pos + bits
+        first = pos >> 3
+        lastb = (end + 7) >> 3
+        raw = int.from_bytes(self._data[first:lastb], "big")
+        have = (min(lastb, len(self._data)) - first) * 8
+        span = end - first * 8
+        if have < span:  # past buffer end: pad zeros
+            raw <<= span - have
+            have = span
+        v = (raw >> (have - span)) & ((1 << bits) - 1)
         # bits past EOF read as 0 (BitIStream.hpp:107)
-        v <<= max(0, end - self._valid) if end > self._valid else 0
         if end > self._valid:
+            over = end - max(self._valid, pos)
+            if over >= bits:
+                v = 0
+            else:
+                v &= ~((1 << over) - 1)
             self._pos = self._valid
+        else:
+            self._pos = end
         return v
 
     def read_ints(self, count: int, bits: int) -> np.ndarray:
@@ -323,6 +369,24 @@ class BitReader:
         self._pos += need
         m = chunk.reshape(count, bits).astype(np.uint64)
         return m @ _POW2[64 - bits :]
+
+    def read_tokens(self, widths) -> np.ndarray:
+        """Batched read of variable-width tokens (native fast path)."""
+        widths = np.ascontiguousarray(widths, dtype=np.int64)
+        n = len(widths)
+        if n == 0:
+            return np.zeros(0, np.uint64)
+        from .. import native
+
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "tdc_read_tokens"):
+            out = np.empty(n, np.uint64)
+            data = np.frombuffer(self._data, dtype=np.uint8)
+            end = lib.tdc_read_tokens(data, len(data), self._pos, widths, n, out)
+            # zero out bits past the valid region (EOF semantics)
+            self._pos = min(end, self._valid)
+            return out
+        return np.array([self.read_int(int(w)) for w in widths], np.uint64)
 
     def read_unary(self) -> int:
         if self._ones is None:

@@ -61,10 +61,41 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_lzw_parse.argtypes = [u8p, i64, u32p]
     lib.tdc_lzw_decode.restype = i64
     lib.tdc_lzw_decode.argtypes = [u32p, i64, u8p, i64]
+    lib.tdc_rle_decode.restype = i64
+    lib.tdc_rle_decode.argtypes = [u8p, i64, i64, u8p, i64]
     lib.tdc_mtf_decode.restype = None
     lib.tdc_mtf_decode.argtypes = [u8p, i64, u8p]
     lib.tdc_mtf_encode.restype = None
     lib.tdc_mtf_encode.argtypes = [u8p, i64, u8p]
+    lib.tdc_huffman_decode_canonical.restype = i64
+    lib.tdc_huffman_decode_canonical.argtypes = [
+        u8p,
+        i64,
+        i64,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        u8p,
+        ctypes.c_int32,
+        u8p,
+        i64,
+    ]
+    lib.tdc_read_tokens.restype = i64
+    lib.tdc_read_tokens.argtypes = [
+        u8p,
+        i64,
+        i64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        i64,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+    ]
+    lib.tdc_pack_tokens.restype = i64
+    lib.tdc_pack_tokens.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        i64,
+        u8p,
+        i64,
+    ]
     lib.tdc_huffman_decode.restype = i64
     lib.tdc_huffman_decode.argtypes = [
         u8p,

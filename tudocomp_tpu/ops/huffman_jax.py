@@ -72,13 +72,21 @@ def _wr(A, idx, val):
 
 
 def _sort_hist(hist: jnp.ndarray):
-    """Sort effective symbols ascending by (count, symbol); absent -> +inf."""
+    """Sort effective symbols ascending by (count, symbol); absent -> +inf.
+
+    Sort-free: counts are < 2^22 (MAX_BLOCK), so (count << 9) | symbol is a
+    unique i32 key and each symbol's sorted position is the number of
+    smaller keys — a [256, 256] comparison matrix, which the VPU eats for
+    breakfast, where a vmapped 256-element lax.sort took ~2 ms per block
+    on TPU."""
     hist = hist.astype(jnp.int32)
     present = hist > 0
     sigma = jnp.sum(present.astype(jnp.int32))
-    key = jnp.where(present, hist, _BIG)
     sym = jnp.arange(256, dtype=jnp.int32)
-    sorted_key, sorted_sym = jax.lax.sort((key, sym), num_keys=2)
+    key = jnp.where(present, (hist << 9) | sym, _BIG | sym)
+    rank = jnp.sum((key[None, :] < key[:, None]).astype(jnp.int32), axis=1)
+    sorted_key = jnp.zeros(256, jnp.int32).at[rank].set(jnp.where(present, hist, _BIG))
+    sorted_sym = jnp.zeros(256, jnp.int32).at[rank].set(sym)
     return sorted_key, sorted_sym, sigma
 
 
@@ -141,9 +149,13 @@ def _phase3(A, sorted_sym, sigma):
     leaves = 2 * jnp.concatenate([jnp.zeros(1, jnp.int32), nd[:-1]]) - nd
     leaves = leaves.at[0].set(0)
     cum = jnp.cumsum(leaves)
-    # sorted position j (ascending freq) has rank-from-most-frequent m-1-j
+    # sorted position j (ascending freq) has rank-from-most-frequent m-1-j;
+    # searchsorted(cum, rank, 'right') == #{d : cum[d] <= rank}, computed as
+    # a comparison sum (vmapped searchsorted is slow on TPU)
     rank = m - 1 - pos
-    depth = jnp.searchsorted(cum, rank, side="right").astype(jnp.int32)
+    depth = jnp.sum(
+        (cum[None, :] <= rank[:, None]).astype(jnp.int32), axis=1
+    )
     depth = jnp.where(pos < m, depth, 0)
 
     lengths = jnp.zeros(256, jnp.int32).at[sorted_sym].max(depth)
@@ -201,12 +213,18 @@ def canonical_codes(lengths: jnp.ndarray):
         0, MAX_LEN - 1, fc_body, jnp.zeros(MAX_LEN, jnp.int32)
     )
 
-    # order by (length, symbol); absent symbols sort last
+    # order by (length, symbol); absent symbols sort last. Sort-free: unique
+    # i32 keys + comparison-matrix ranks (see _sort_hist).
     sym = jnp.arange(256, dtype=jnp.int32)
-    lkey = jnp.where(present, lengths, _BIG)
-    ordered_len, ordered_sym = jax.lax.sort((lkey, sym), num_keys=2)
-    # rank within the same-length group
-    first_of_len = jnp.searchsorted(ordered_len, ordered_len, side="left")
+    key = jnp.where(present, (lengths << 9) | sym, 0x7FFF0000 + sym)
+    rank = jnp.sum((key[None, :] < key[:, None]).astype(jnp.int32), axis=1)
+    ordered_len = jnp.zeros(256, jnp.int32).at[rank].set(
+        jnp.where(present, lengths, _BIG)
+    )
+    ordered_sym = jnp.zeros(256, jnp.int32).at[rank].set(sym)
+    # first position of each length group: #symbols with a shorter length
+    num_shorter = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(numl)])
+    first_of_len = num_shorter[jnp.clip(ordered_len - 1, 0, MAX_LEN)]
     pos = jnp.arange(256, dtype=jnp.int32)
     ordered_cw = firstcode[jnp.clip(ordered_len - 1, 0, MAX_LEN - 1)] + (
         pos - first_of_len
