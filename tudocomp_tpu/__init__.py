@@ -67,6 +67,7 @@ def register_all(registry: Registry = REGISTRY) -> Registry:
         "compressors.lz78",
         "compressors.lzw",
         "compressors.blockwise",
+        "compressors.hash_axes",
         "compressors.lzss",
         "compressors.lzss_lcp",
         "compressors.lcpcomp",

@@ -26,13 +26,15 @@ class _TrieBase(Algorithm):
     """Marker algorithm for the lz78trie axis; selection only."""
 
 
-def _make_trie(ident: str, doc: str, options=()):
+def _make_trie(ident: str, doc: str, options=(), templated=()):
     class Trie(_TrieBase):
         @classmethod
         def meta(cls) -> Meta:
             m = Meta("lz78trie", ident, doc)
             for name, default in options:
                 m.option(name).dynamic(default)
+            for name, algo_type, default in templated:
+                m.option(name).templated(algo_type, default)
             return m
 
     Trie.__name__ = f"LZ78Trie_{ident}"
@@ -41,17 +43,25 @@ def _make_trie(ident: str, doc: str, options=()):
 
 
 _HASH_OPTS = (("load_factor", 30),)
+# sub-algorithm axes of the hash-trie family (registry_config.py:109-120)
+_HASH_SUBS = (
+    ("hash_function", "hash_function", "mixer"),
+    ("hash_prober", "hash_prober", "linear"),
+    ("hash_manager", "hash_manager", "pow2"),
+)
+_HASH_SUBS_PLUS = _HASH_SUBS[:1] + _HASH_SUBS[2:]
+_ROLL_SUBS = (("hash_roll", "hash_roll", "zbackup"),) + _HASH_SUBS
 
 TRIES = [
     _make_trie("ternary", "Lempel-Ziv 78 Ternary Trie"),
     _make_trie("binary", "Lempel-Ziv 78 Binary Trie"),
     _make_trie("binarysorted", "Lempel-Ziv 78 Sorted Binary Trie"),
     _make_trie("cedar", "Lempel-Ziv 78 Cedar Trie"),
-    _make_trie("hash", "Hash Trie", _HASH_OPTS),
-    _make_trie("hash_plus", "Hash Trie+", _HASH_OPTS),
-    _make_trie("exthash", "External Hash Trie", _HASH_OPTS),
-    _make_trie("rolling", "Rolling Hash Trie", _HASH_OPTS),
-    _make_trie("rolling_plus", "Rolling Hash Trie+", _HASH_OPTS),
+    _make_trie("hash", "Hash Trie", _HASH_OPTS, _HASH_SUBS),
+    _make_trie("hash_plus", "Hash Trie+", _HASH_OPTS, _HASH_SUBS_PLUS),
+    _make_trie("exthash", "External Hash Trie", _HASH_OPTS, _HASH_SUBS),
+    _make_trie("rolling", "Rolling Hash Trie", _HASH_OPTS, _ROLL_SUBS),
+    _make_trie("rolling_plus", "Rolling Hash Trie+", _HASH_OPTS, _ROLL_SUBS[:1] + _HASH_SUBS_PLUS),
     _make_trie("compact_sparse_hash", "Compact Sparse Hash Trie", _HASH_OPTS),
 ]
 

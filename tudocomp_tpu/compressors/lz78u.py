@@ -82,20 +82,45 @@ class LZ78UCompressor(Compressor):
             st = SuffixTree(sa, lcp)
 
         w = BitWriter()
-        ref_enc, str_enc = self._coders(w, True)
+        strat_name = self.env.option("comp").as_algorithm().name
+        events: list[tuple[int, int, int]] = []  # (kind, value, range_max)
+        if strat_name == "buffering":
+            # BufferingStrategy (lz78u/BufferingStrategy.hpp): buffer the
+            # event stream; the string coder's literal feed is all label
+            # chars, so entropy coders build real tables
+            def encode_sep(b):
+                events.append((1, 1 if b else 0, 0))
+
+            def encode_char(c):
+                events.append((2, int(c), 0))
+
+            def encode_ref_ev(v, rmax):
+                events.append((0, int(v), rmax))
+
+            ref_enc = str_enc = None
+        else:
+            ref_enc, str_enc = self._coders(w, True)
+
+            def encode_sep(b):
+                w.write_bit(1 if b else 0)
+
+            def encode_char(c):
+                str_enc.encode(int(c), literal_r)
+
+            encode_ref_ev = None
+
+        def encode_ref(v, rmax):
+            if encode_ref_ev is not None:
+                encode_ref_ev(v, rmax)
+            else:
+                ref_enc.encode(v, len_r if rmax < 0 else Range(rmax))
         R = np.zeros(st.num_internal, dtype=np.int64)
         state = {"factor_count": 0}
-
-        def encode_sep(b):
-            w.write_bit(1 if b else 0)
-
-        def encode_char(c):
-            str_enc.encode(int(c), literal_r)
 
         def output(begin, end, ref):
             while T[end - 1] == 0:
                 end -= 1
-            ref_enc.encode(int(ref), Range(state["factor_count"]))
+            encode_ref(int(ref), state["factor_count"])
             if end - begin >= threshold:
                 encode_sep(False)
                 pos = begin
@@ -115,12 +140,12 @@ class LZ78UCompressor(Compressor):
                         pos += 1
                     else:
                         encode_sep(True)
-                        ref_enc.encode(int(R[parent]), Range(state["factor_count"]))
+                        encode_ref(int(R[parent]), state["factor_count"])
                         pos += depth
                         if pos > end:
                             encode_sep(True)
-                            ref_enc.encode(0, Range(state["factor_count"]))
-                            ref_enc.encode(pos - end, len_r)
+                            encode_ref(0, state["factor_count"])
+                            encode_ref(pos - end, -1)
                 encode_sep(False)
                 encode_char(0)
             else:
@@ -160,6 +185,25 @@ class LZ78UCompressor(Compressor):
                 R[node] = z
                 pos = end
 
+        if strat_name == "buffering":
+            # replay the buffered event stream (BufferingStrategy dtor)
+            chars = np.array(
+                [v for k, v, _ in events if k == 2], dtype=np.uint8
+            )
+            from ..literals import ArrayLiterals
+
+            ref_cls, ref_env = self.env.algorithm_for_option("coder")
+            strat_env = self.env.env_for_option("comp")
+            str_cls, str_env = strat_env.algorithm_for_option("string_coder")
+            ref_enc = ref_cls.Encoder(ref_env, w, NoLiterals())
+            str_enc = str_cls.Encoder(str_env, w, ArrayLiterals(chars))
+            for kind, v, rmax in events:
+                if kind == 0:
+                    ref_enc.encode(v, len_r if rmax < 0 else Range(rmax))
+                elif kind == 1:
+                    w.write_bit(v)
+                else:
+                    str_enc.encode(v, literal_r)
         ref_enc.finalize()
         str_enc.finalize()
         out.write(w.getvalue())
