@@ -739,6 +739,93 @@ int64_t tdc_lcpcomp_arrays_factorize(const int32_t* sa, const int32_t* isa,
     return nf;
 }
 
+// lcpcomp "heap" strategy (lcpcomp/compress/MaxHeapStrategy.hpp:22-103 +
+// ds/ArrayMaxHeap.hpp): max-heap over LCP values; repeatedly pop the
+// maximum, emit the factor, remove overlapped suffixes and decrease keys
+// of intersecting ones. (Tie order among equal LCP values is heap-shape
+// dependent, here as in the reference.) Returns factor count.
+int64_t tdc_lcpcomp_heap_factorize(const int32_t* sa, const int32_t* isa,
+                                   const int32_t* lcp, int64_t n,
+                                   int64_t threshold, uint32_t* fpos,
+                                   uint32_t* fsrc, uint32_t* flen) {
+    std::vector<int32_t> key(lcp, lcp + n);
+    std::vector<int64_t> heap;       // heap of lcp indices
+    std::vector<int64_t> slot((size_t)n, -1);  // index -> heap slot (-1 = out)
+    heap.reserve((size_t)n);
+
+    auto less = [&](int64_t a, int64_t b) { return key[a] < key[b]; };
+    auto swap_slots = [&](int64_t i, int64_t j) {
+        std::swap(heap[i], heap[j]);
+        slot[heap[i]] = i;
+        slot[heap[j]] = j;
+    };
+    auto sift_up = [&](int64_t i) {
+        while (i > 0 && less(heap[(i - 1) / 2], heap[i])) {
+            swap_slots(i, (i - 1) / 2);
+            i = (i - 1) / 2;
+        }
+    };
+    auto sift_down = [&](int64_t i) {
+        int64_t sz = (int64_t)heap.size();
+        while (true) {
+            int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
+            if (l < sz && less(heap[m], heap[l])) m = l;
+            if (r < sz && less(heap[m], heap[r])) m = r;
+            if (m == i) break;
+            swap_slots(i, m);
+            i = m;
+        }
+    };
+    auto remove_at = [&](int64_t idx) {
+        int64_t s = slot[idx];
+        if (s < 0) return;
+        int64_t last = (int64_t)heap.size() - 1;
+        if (s != last) swap_slots(s, last);
+        slot[heap[last]] = -1;
+        heap.pop_back();
+        if (s <= last - 1 && s < (int64_t)heap.size()) {
+            sift_down(s);
+            sift_up(s);
+        }
+    };
+
+    for (int64_t i = 1; i < n; ++i) {
+        if (lcp[i] >= threshold) {
+            slot[i] = (int64_t)heap.size();
+            heap.push_back(i);
+        }
+    }
+    // heapify
+    for (int64_t i = (int64_t)heap.size() / 2 - 1; i >= 0; --i) sift_down(i);
+
+    int64_t nf = 0;
+    while (!heap.empty()) {
+        int64_t m = heap[0];
+        int64_t p = sa[m];
+        int64_t src = sa[m - 1];
+        int64_t len = key[m];
+        fpos[nf] = (uint32_t)p;
+        fsrc[nf] = (uint32_t)src;
+        flen[nf] = (uint32_t)len;
+        ++nf;
+        for (int64_t k = 0; k < len; ++k) remove_at(isa[p + k]);
+        for (int64_t k = 0; k < len && p > k; ++k) {
+            int64_t s = p - k - 1;
+            int64_t i = isa[s];
+            if (slot[i] >= 0 && s + key[i] > p) {
+                int64_t l = p - s;
+                if (l >= threshold) {
+                    key[i] = (int32_t)l;
+                    sift_down(slot[i]);
+                } else {
+                    remove_at(i);
+                }
+            }
+        }
+    }
+    return nf;
+}
+
 // FactorBuffer::flatten (lzss/LZSSFactors.hpp:79-132): rewrite factor
 // sources that point into other factors to their (transitively) flattened
 // source when fully contained. Factors must be sorted by pos.

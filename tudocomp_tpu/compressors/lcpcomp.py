@@ -9,12 +9,11 @@ is the shared lzss format. Decompression is the scan decoder
 (lcpcomp/decompress/ScanDec.hpp): parse-time immediate copies, `scans`
 lazy passes, then eager chain resolution over forward-reference buckets.
 
-Strategy axes registered for id-string parity: comp in {arrays (default),
-heap, maxlcp, plcppeaks, plcp} — all map to the arrays bucket
-implementation in this build (identical factor semantics: always a
-maximal-LCP candidate; byte streams may order equal-LCP factors
-differently than the reference's heap variants); dec in {scan (default),
-compact}.
+Strategy axes: comp in {arrays (default, bucket arrays), heap (max-heap
+with decrease-key, MaxHeapStrategy.hpp), maxlcp, plcppeaks (alias to
+arrays — same maximal-LCP factor semantics)}; dec in {scan (default),
+compact (alias)}. Tie order among equal-LCP candidates is
+strategy-implementation specific, here as in the reference.
 """
 
 from __future__ import annotations
@@ -80,6 +79,58 @@ def arrays_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
                 ind = isa[pos_target - k - 1]
                 lcp_mut[ind] = min(k + 1, int(lcp_mut[ind]))
         col.clear()
+    return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
+
+
+def heap_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
+    """MaxHeapStrategy.hpp:22-103 (native); python mirror for fallback."""
+    n = len(sa)
+    lib = native.get_lib()
+    if lib is not None and n:
+        fpos = np.empty(n, np.uint32)
+        fsrc = np.empty(n, np.uint32)
+        flen = np.empty(n, np.uint32)
+        nf = lib.tdc_lcpcomp_heap_factorize(
+            np.ascontiguousarray(sa, np.int32),
+            np.ascontiguousarray(isa, np.int32),
+            np.ascontiguousarray(lcp, np.int32),
+            n,
+            threshold,
+            fpos,
+            fsrc,
+            flen,
+        )
+        return lzss_common.Factors(fpos[:nf].copy(), fsrc[:nf].copy(), flen[:nf].copy())
+    import heapq
+
+    key = [int(x) for x in lcp]
+    alive = [False] * n
+    h = []
+    for i in range(1, n):
+        if key[i] >= threshold:
+            alive[i] = True
+            heapq.heappush(h, (-key[i], i))
+    fpos_l, fsrc_l, flen_l = [], [], []
+    while h:
+        negk, m = heapq.heappop(h)
+        if not alive[m] or -negk != key[m]:
+            continue
+        p, src, ln = int(sa[m]), int(sa[m - 1]), key[m]
+        fpos_l.append(p)
+        fsrc_l.append(src)
+        flen_l.append(ln)
+        for k in range(ln):
+            alive[int(isa[p + k])] = False
+        for k in range(min(ln, p)):
+            s2 = p - k - 1
+            i = int(isa[s2])
+            if alive[i] and s2 + key[i] > p:
+                l2 = p - s2
+                if l2 >= threshold:
+                    key[i] = l2
+                    heapq.heappush(h, (-l2, i))
+                else:
+                    alive[i] = False
     return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
 
 
@@ -165,8 +216,12 @@ class LCPCompressor(Compressor):
             isa = ds.require_isa()
             lcp = ds.require_lcp()
         threshold = self.env.option("threshold").as_integer()
+        comp_name = self.env.option("comp").as_algorithm().name
         with StatPhase("Factorize") as ph:
-            factors = arrays_factorize(sa, isa, lcp, threshold)
+            if comp_name == "heap":
+                factors = heap_factorize(sa, isa, lcp, threshold)
+            else:
+                factors = arrays_factorize(sa, isa, lcp, threshold)
             ph.log("threshold", threshold)
             ph.log("factors", len(factors))
         with StatPhase("Sort Factors"):
