@@ -69,6 +69,9 @@ class TextDS:
                 else:
                     self._sa = suffix_array_numpy(self.text)
                 ph.log("n", n)
+                from ..paranoid import check_permutation
+
+                check_permutation(self._sa, n, "SA")
         return self._sa
 
     def require_isa(self) -> np.ndarray:
@@ -152,6 +155,9 @@ def decode_bwt(bwt: np.ndarray) -> np.ndarray:
     if n <= 1:
         return np.zeros(0, dtype=np.uint8)
     lf = bwt_lf(bwt)
+    from ..paranoid import check_permutation
+
+    check_permutation(lf, n, "LF")
     lib = native.get_lib()
     out = np.empty(n - 1, dtype=np.uint8)
     if lib is not None and hasattr(lib, "tdc_bwt_walk"):
