@@ -85,9 +85,12 @@ def _sort_hist(hist: jnp.ndarray):
     sym = jnp.arange(256, dtype=jnp.int32)
     key = jnp.where(present, (hist << 9) | sym, _BIG | sym)
     rank = jnp.sum((key[None, :] < key[:, None]).astype(jnp.int32), axis=1)
-    sorted_key = jnp.zeros(256, jnp.int32).at[rank].set(jnp.where(present, hist, _BIG))
-    sorted_sym = jnp.zeros(256, jnp.int32).at[rank].set(sym)
-    return sorted_key, sorted_sym, sigma
+    # permutation inverse via comparison sums (vmapped scatters serialize)
+    eq = rank[None, :] == sym[:, None]  # [pos, symbol]
+    sorted_sym = jnp.sum(jnp.where(eq, sym[None, :], 0), axis=1)
+    kv = jnp.where(present, hist, _BIG)
+    sorted_key = jnp.sum(jnp.where(eq, kv[None, :], 0), axis=1)
+    return sorted_key, sorted_sym, sigma, rank
 
 
 def _phase12_xla(sorted_key: jnp.ndarray, m):
@@ -137,28 +140,35 @@ def _phase12_xla(sorted_key: jnp.ndarray, m):
     return jax.lax.fori_loop(0, 254, p2_body, A)
 
 
-def _phase3(A, sorted_sym, sigma):
-    """Internal depths -> per-symbol code lengths (vectorized)."""
+def _phase3(A, sym_rank, sigma):
+    """Internal depths -> per-symbol code lengths (vectorized).
+
+    sym_rank[s] = sorted position of symbol s (from _sort_hist); the final
+    per-symbol assignment is a gather depth[sym_rank] — comparison sums and
+    gathers only, no scatters (vmapped scatter-max was a serialization
+    sink on TPU)."""
     m = sigma
     pos = jnp.arange(256, dtype=jnp.int32)
     internal = pos < m - 1
-    idepth = jnp.where(internal, A, MAX_LEN + 1)
-    nd = jnp.zeros(MAX_LEN + 2, jnp.int32).at[jnp.minimum(idepth, MAX_LEN + 1)].add(1)
-    nd = nd[: MAX_LEN + 1]  # internal nodes per depth 0..MAX_LEN
+    idepth = jnp.where(internal, jnp.minimum(A, MAX_LEN + 1), MAX_LEN + 1)
+    # internal nodes per depth 0..MAX_LEN via comparison sums
+    drange = jnp.arange(MAX_LEN + 1, dtype=jnp.int32)
+    nd = jnp.sum(
+        (idepth[None, :] == drange[:, None]).astype(jnp.int32), axis=1
+    )
     # leaves at depth d = 2 * internal(d-1) - internal(d)
     leaves = 2 * jnp.concatenate([jnp.zeros(1, jnp.int32), nd[:-1]]) - nd
     leaves = leaves.at[0].set(0)
     cum = jnp.cumsum(leaves)
     # sorted position j (ascending freq) has rank-from-most-frequent m-1-j;
-    # searchsorted(cum, rank, 'right') == #{d : cum[d] <= rank}, computed as
-    # a comparison sum (vmapped searchsorted is slow on TPU)
+    # searchsorted(cum, rank, 'right') == #{d : cum[d] <= rank}
     rank = m - 1 - pos
     depth = jnp.sum(
         (cum[None, :] <= rank[:, None]).astype(jnp.int32), axis=1
     )
     depth = jnp.where(pos < m, depth, 0)
 
-    lengths = jnp.zeros(256, jnp.int32).at[sorted_sym].max(depth)
+    lengths = depth[sym_rank]
     return jnp.where(sigma >= 2, lengths, jnp.zeros(256, jnp.int32))
 
 
@@ -168,21 +178,21 @@ def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
     Returns [256] i32; 0 for absent symbols. Degenerate alphabets
     (sigma <= 1) return all zeros — callers emit the flag-0 raw format.
     """
-    sorted_key, sorted_sym, sigma = _sort_hist(hist)
+    sorted_key, sorted_sym, sigma, rank = _sort_hist(hist)
     A = _phase12_xla(sorted_key, sigma)
-    return _phase3(A, sorted_sym, sigma)
+    return _phase3(A, rank, sigma)
 
 
 def code_lengths_batch(hists: jnp.ndarray) -> jnp.ndarray:
     """[B, 256] histograms -> [B, 256] code lengths; pallas on TPU."""
-    keys, syms, sigmas = jax.vmap(_sort_hist)(hists)
+    keys, syms, sigmas, ranks = jax.vmap(_sort_hist)(hists)
     if jax.default_backend() == "tpu":
         from .pallas_kernels import moffat_phase12
 
         A = moffat_phase12(keys, sigmas)
     else:
         A = jax.vmap(_phase12_xla)(keys, sigmas)
-    return jax.vmap(_phase3)(A, syms, sigmas)
+    return jax.vmap(_phase3)(A, ranks, sigmas)
 
 
 def canonical_codes(lengths: jnp.ndarray):
@@ -218,10 +228,11 @@ def canonical_codes(lengths: jnp.ndarray):
     sym = jnp.arange(256, dtype=jnp.int32)
     key = jnp.where(present, (lengths << 9) | sym, 0x7FFF0000 + sym)
     rank = jnp.sum((key[None, :] < key[:, None]).astype(jnp.int32), axis=1)
-    ordered_len = jnp.zeros(256, jnp.int32).at[rank].set(
-        jnp.where(present, lengths, _BIG)
+    eq = rank[None, :] == sym[:, None]  # [pos, symbol]
+    ordered_len = jnp.sum(
+        jnp.where(eq, jnp.where(present, lengths, _BIG)[None, :], 0), axis=1
     )
-    ordered_sym = jnp.zeros(256, jnp.int32).at[rank].set(sym)
+    ordered_sym = jnp.sum(jnp.where(eq, sym[None, :], 0), axis=1)
     # first position of each length group: #symbols with a shorter length
     num_shorter = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(numl)])
     first_of_len = num_shorter[jnp.clip(ordered_len - 1, 0, MAX_LEN)]
