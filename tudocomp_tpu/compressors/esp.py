@@ -422,7 +422,52 @@ class DDiff(Algorithm):
         return out
 
 
-D_CODINGS = {"plain": DPlain, "diff": DDiff}
+class DWaveletTree(Algorithm):
+    """d_coding=wavelet_tree (DRCoder.hpp:96-152): the D array as a
+    levelwise wavelet tree — compressed_int(depth) then `depth` bitvectors
+    of n bits; level k lists each element's k-th MSB with elements stably
+    ordered by their k-bit prefix (the wt_pc layout)."""
+
+    @classmethod
+    def meta(cls) -> Meta:
+        return Meta("d_coding", "wavelet_tree", "Wavelet tree D array encoding")
+
+    @staticmethod
+    def encode(w, rhs, bit_width, max_value):
+        values = np.asarray(rhs, dtype=np.uint64)
+        depth = int(max_value).bit_length()
+        w.write_compressed_int(depth)
+        n = len(values)
+        if depth == 0 or n == 0:
+            return
+        for k in range(depth):
+            # stable order by k-bit prefix; level bits are the k-th MSB
+            prefix = values >> np.uint64(depth - k)
+            order = np.argsort(prefix, kind="stable")
+            bits = (values[order] >> np.uint64(depth - 1 - k)) & np.uint64(1)
+            w.write_ints(bits, 1)
+
+    @staticmethod
+    def decode(r, count, bit_width, max_value):
+        depth = r.read_compressed_int()
+        n = count
+        vals = np.zeros(n, dtype=np.uint64)
+        if depth == 0 or n == 0:
+            return vals.astype(np.int64)
+        pos = np.arange(n, dtype=np.int64)
+        for k in range(depth):
+            level = r.read_ints(n, 1)
+            b = level[pos]
+            vals = (vals << np.uint64(1)) | b
+            # next-level position: stable rank by the (k+1)-bit prefix
+            idx = np.argsort(vals, kind="stable")
+            rank = np.empty(n, dtype=np.int64)
+            rank[idx] = np.arange(n, dtype=np.int64)
+            pos = rank
+        return vals.astype(np.int64)
+
+
+D_CODINGS = {"plain": DPlain, "diff": DDiff, "wavelet_tree": DWaveletTree}
 
 
 class SortedSLPCoder(Algorithm):
@@ -540,5 +585,6 @@ def register(registry):
     registry.register(SortedSLPCoder)
     registry.register(DPlain)
     registry.register(DDiff)
+    registry.register(DWaveletTree)
     for i in IPDS:
         registry.register(i)

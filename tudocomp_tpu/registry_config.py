@@ -40,7 +40,7 @@ LCPCOMP_COMP = ["heap", "maxlcp", "arrays", "plcppeaks"]
 LCPCOMP_DEC = ["scan", "compact"]
 
 # esp axes (etc/registry_config.py:174-205)
-ESP_SLP_CODERS = ["plain", "sorted", "sorted(d_coding=plain)", "sorted(d_coding=diff)"]
+ESP_SLP_CODERS = ["plain", "sorted", "sorted(d_coding=plain)", "sorted(d_coding=diff)", "sorted(d_coding=wavelet_tree)"]
 ESP_IPD = ["std_unordered_map", "hash_map", "dynamic_size"]
 
 # lfs axes (etc/registry_config.py:207-225)
