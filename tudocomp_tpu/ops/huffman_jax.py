@@ -185,7 +185,12 @@ def code_lengths(hist: jnp.ndarray) -> jnp.ndarray:
 
 def code_lengths_batch(hists: jnp.ndarray) -> jnp.ndarray:
     """[B, 256] histograms -> [B, 256] code lengths; pallas on TPU."""
+    # barrier: without it XLA fuses the histogram scatter into the [256,256]
+    # comparison broadcast and recomputes it per element (150ms instead of
+    # 1.5ms for the whole table stage)
+    hists = jax.lax.optimization_barrier(hists)
     keys, syms, sigmas, ranks = jax.vmap(_sort_hist)(hists)
+    keys, sigmas, ranks = jax.lax.optimization_barrier((keys, sigmas, ranks))
     if jax.default_backend() == "tpu":
         from .pallas_kernels import moffat_phase12
 
