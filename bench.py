@@ -6,23 +6,28 @@ Baseline context (BASELINE.md): the reference publishes no first-party
 numbers; the repo target is >= 1 GB/s aggregate encode on a v5e-8, i.e.
 0.125 GB/s per chip. vs_baseline is measured GB/s divided by that per-chip
 share, so vs_baseline >= 1.0 means the single-chip target is met.
+
+Robustness: the remote-TPU tunnel in this environment can wedge (single
+tenant; compiles go through a relay). The measurement runs in a daemon
+thread with a deadline; if the device never answers, a degraded CPU
+measurement is reported instead of hanging the driver.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
 
+DEADLINE_S = float(os.environ.get("TDC_BENCH_DEADLINE", "540"))
 
-def main():
-    import os
 
+def measure(result: dict) -> None:
     import jax
 
-    # persistent compile cache: first-ever run pays the (slow, remote)
-    # compile; later runs hit the cache
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -51,12 +56,46 @@ def main():
         out = fn(blocks, n_valid)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
+    result["gbps"] = (B * bs) / dt / 1e9
+    result["backend"] = jax.default_backend()
 
-    gbps = (B * bs) / dt / 1e9
+
+def main():
+    result: dict = {}
+    t = threading.Thread(target=measure, args=(result,), daemon=True)
+    t.start()
+    t.join(DEADLINE_S)
+    if "gbps" not in result:
+        # device unresponsive: degraded host-throughput fallback so the
+        # driver still records a data point
+        import sys
+        import subprocess
+
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            timeout=DEADLINE_S,
+            text=True,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        if line.startswith("{"):
+            doc = json.loads(line)
+            if not doc["metric"].endswith("_fallback"):
+                doc["metric"] += "_fallback"
+            print(json.dumps(doc))
+            return
+        result["gbps"] = 0.0
+        result["backend"] = "unavailable"
+    gbps = result["gbps"]
+    suffix = "" if result.get("backend") == "tpu" else f"_{result.get('backend')}"
     print(
         json.dumps(
             {
-                "metric": "huffman_block_encode_throughput",
+                "metric": "huffman_block_encode_throughput" + suffix,
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / 0.125, 4),
