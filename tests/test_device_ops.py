@@ -153,3 +153,27 @@ class TestParallelRuntime:
         fn, args = ge.entry()
         jax.jit(fn).lower(*args)  # compiles
         ge.dryrun_multichip(4)
+
+
+class TestDeviceTransforms:
+    def test_mtf_device_matches_host(self):
+        from tudocomp_tpu.compressors.simple import mtf_encode
+        from tudocomp_tpu.ops.transforms import mtf_encode_device
+
+        rng = np.random.default_rng(0)
+        for sigma in (2, 26, 256):
+            data = rng.integers(0, sigma, 8192).astype(np.uint8)
+            dev = np.asarray(mtf_encode_device(jnp.asarray(data)))
+            assert (dev == mtf_encode(data)).all()
+
+    def test_rle_runs_device(self):
+        from tudocomp_tpu.ops.transforms import rle_runs_device
+
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            data = rng.integers(0, 4, int(rng.integers(1, 2000))).astype(np.uint8)
+            ch, ln, nr = rle_runs_device(jnp.asarray(data))
+            nr = int(nr)
+            assert (
+                np.repeat(np.asarray(ch)[:nr], np.asarray(ln)[:nr]) == data
+            ).all()
