@@ -43,6 +43,78 @@ class TestEsp:
             assert not empty
             assert derive_text(rules, root) == text
 
+    D_CODINGS = [
+        "plain",
+        "huffman",
+        "diff",
+        "wavelet_tree",
+        "range_fit",
+        "range_fit(wt=true)",
+        "range_fit(threshold=25, wt=true, zero_min=true)",
+        "succinct",
+        "succinct(subseq=optimal, dx_coder=plain)",
+        "succinct(subseq=greedy, dx_coder=huffman)",
+        "succinct(subseq=greedy, dx_coder=wavelet_tree)",
+    ]
+
+    @pytest.mark.parametrize("d", D_CODINGS)
+    def test_d_coding_axis(self, d):
+        for text in CORPUS:
+            roundtrip(f"esp(slp_coder=sorted(d_coding={d}))", text)
+        # one bigger mixed input per coding
+        rng = np.random.default_rng(7)
+        big = rng.integers(97, 105, 4000, dtype=np.uint8).tobytes() + b"ab" * 500
+        roundtrip(f"esp(slp_coder=sorted(d_coding={d}))", big)
+
+    def test_unary_diff_codec(self):
+        from tudocomp_tpu.compressors.esp_dcoding import (
+            decode_unary_diff,
+            encode_unary_diff,
+        )
+        from tudocomp_tpu.io.bitio import BitReader, BitWriter
+
+        rng = np.random.default_rng(3)
+        cases = [
+            np.zeros(0, np.int64),
+            np.zeros(10, np.int64),
+            np.arange(50),
+            np.array([5] * 100),
+            rng.integers(0, 1000, 200),
+            np.sort(rng.integers(0, 1000, 200)),
+        ]
+        for sign in (True, False):
+            for v in cases:
+                if not sign:
+                    v = np.sort(v)
+                w = BitWriter()
+                encode_unary_diff(w, v, 12, 12, sign)
+                r = BitReader(w.getvalue())
+                got = decode_unary_diff(r, len(v), 12, 12, sign)
+                assert (got == v).all(), (sign, v[:10], got[:10])
+
+    def test_monotone_decomposition_invariants(self):
+        from tudocomp_tpu.compressors.esp_dcoding import (
+            SubSeqGreedy,
+            SubSeqOptimal,
+        )
+
+        rng = np.random.default_rng(5)
+        for cls in (SubSeqOptimal, SubSeqGreedy):
+            strat = cls.__new__(cls)  # no env needed
+            for n in (1, 2, 17, 100):
+                sis = rng.permutation(n)
+                Dpi, b = strat.create_dpi_and_b(sis)
+                assert len(Dpi) == n and Dpi.max() == len(b) - 1
+                # each subsequence is strictly monotone in sis, direction b
+                for s in range(len(b)):
+                    ys = sis[Dpi == s]
+                    if len(ys) > 1:
+                        d = np.diff(ys.astype(np.int64))
+                        if b[s] == 0:
+                            assert (d > 0).all()
+                        else:
+                            assert (d < 0).all()
+
     def test_landmark_properties(self):
         # every round's blocks are sized 2..3 and cover the string: implied
         # by esp_round not raising and by derivation; explicit length check

@@ -368,121 +368,19 @@ def slp_dep_sort(rules: np.ndarray, root: int):
     return renamed, root
 
 
-class DPlain(Algorithm):
-    @classmethod
-    def meta(cls) -> Meta:
-        return Meta("d_coding", "plain", "Plain D array encoding")
-
-    @staticmethod
-    def encode(w, rhs, bit_width, max_value):
-        w.write_ints(np.asarray(rhs, np.uint64), bit_width)
-
-    @staticmethod
-    def decode(r, count, bit_width, max_value):
-        return r.read_ints(count, bit_width).astype(np.int64)
-
-
-class DDiff(Algorithm):
-    """d_coding=diff (DRCoder.hpp:485-510): unary-coded signed diffs with
-    escape to plain when the delta is large (simplified: zig-zag unary with
-    bit_width escape)."""
-
-    @classmethod
-    def meta(cls) -> Meta:
-        return Meta("d_coding", "diff", "Unary-diff D array encoding")
-
-    ESC = 32  # unary length at which we escape to plain
-
-    @classmethod
-    def encode(cls, w, rhs, bit_width, max_value):
-        last = 0
-        for v in np.asarray(rhs, np.int64):
-            d = int(v) - last
-            zz = (d << 1) ^ (d >> 63)  # zig-zag
-            if zz < cls.ESC:
-                w.write_unary(zz)
-            else:
-                w.write_unary(cls.ESC)
-                w.write_int(int(v), bit_width)
-            last = int(v)
-
-    @classmethod
-    def decode(cls, r, count, bit_width, max_value):
-        out = np.zeros(count, np.int64)
-        last = 0
-        for i in range(count):
-            zz = r.read_unary()
-            if zz == cls.ESC:
-                v = r.read_int(bit_width)
-            else:
-                d = (zz >> 1) ^ -(zz & 1)
-                v = last + d
-            out[i] = v
-            last = v
-        return out
-
-
-class DWaveletTree(Algorithm):
-    """d_coding=wavelet_tree (DRCoder.hpp:96-152): the D array as a
-    levelwise wavelet tree — compressed_int(depth) then `depth` bitvectors
-    of n bits; level k lists each element's k-th MSB with elements stably
-    ordered by their k-bit prefix (the wt_pc layout)."""
-
-    @classmethod
-    def meta(cls) -> Meta:
-        return Meta("d_coding", "wavelet_tree", "Wavelet tree D array encoding")
-
-    @staticmethod
-    def encode(w, rhs, bit_width, max_value):
-        values = np.asarray(rhs, dtype=np.uint64)
-        depth = int(max_value).bit_length()
-        w.write_compressed_int(depth)
-        n = len(values)
-        if depth == 0 or n == 0:
-            return
-        for k in range(depth):
-            # stable order by k-bit prefix; level bits are the k-th MSB
-            prefix = values >> np.uint64(depth - k)
-            order = np.argsort(prefix, kind="stable")
-            bits = (values[order] >> np.uint64(depth - 1 - k)) & np.uint64(1)
-            w.write_ints(bits, 1)
-
-    @staticmethod
-    def decode(r, count, bit_width, max_value):
-        depth = r.read_compressed_int()
-        n = count
-        vals = np.zeros(n, dtype=np.uint64)
-        if depth == 0 or n == 0:
-            return vals.astype(np.int64)
-        pos = np.arange(n, dtype=np.int64)
-        for k in range(depth):
-            level = r.read_ints(n, 1)
-            b = level[pos]
-            vals = (vals << np.uint64(1)) | b
-            # next-level position: stable rank by the (k+1)-bit prefix
-            idx = np.argsort(vals, kind="stable")
-            rank = np.empty(n, dtype=np.int64)
-            rank[idx] = np.arange(n, dtype=np.int64)
-            pos = rank
-        return vals.astype(np.int64)
-
-
-D_CODINGS = {"plain": DPlain, "diff": DDiff, "wavelet_tree": DWaveletTree}
-
-
 class SortedSLPCoder(Algorithm):
     """SortedSLPCoder.hpp:10-176: dependency-sorts the SLP so rule
     left-hand sides are monotone; header (6-bit width, max_val, root),
-    unary-delta LHS chain, then the RHS ("D") array via d_coding."""
+    unary-delta LHS chain, then the RHS ("D") array via d_coding (default
+    succinct = DMonotonSubseq, SortedSLPCoder.hpp:15)."""
 
     @classmethod
     def meta(cls) -> Meta:
         m = Meta("slp_coder", "sorted", "Sorted SLP encoding")
-        m.option("d_coding").templated("d_coding", "plain")
+        m.option("d_coding").templated("d_coding", "succinct")
         return m
 
-    @staticmethod
-    def encode(w: BitWriter, rules, root, empty, d_coding=DPlain) -> None:
+    def encode(self, w: BitWriter, rules, root, empty) -> None:
         max_val = len(rules) + 256 - 1
         bit_width = 0 if empty else bits_for(max_val)
         if not empty and root >= 256:
@@ -492,14 +390,12 @@ class SortedSLPCoder(Algorithm):
         w.write_int(root, bit_width)
         if empty or root < 256:
             return
-        last = 0
-        for e in rules:
-            w.write_unary(int(e[0]) - last)
-            last = int(e[0])
+        lhs = rules[:, 0].astype(np.int64)
+        w.write_unaries(np.diff(np.concatenate([[0], lhs])))
+        d_coding = self.env.instantiate("d_coding")
         d_coding.encode(w, rules[:, 1], bit_width, max_val)
 
-    @staticmethod
-    def decode(r: BitReader, d_coding=DPlain):
+    def decode(self, r: BitReader):
         bit_width = r.read_int(6)
         empty = bit_width == 0
         max_val = r.read_int(bit_width)
@@ -507,11 +403,8 @@ class SortedSLPCoder(Algorithm):
         if empty or root < 256:
             return np.zeros((0, 2), np.int64), root, empty
         slp_size = (max_val + 1) - 256
-        lhs = np.zeros(slp_size, np.int64)
-        last = 0
-        for i in range(slp_size):
-            last += r.read_unary()
-            lhs[i] = last
+        lhs = np.cumsum(r.read_unaries(slp_size))
+        d_coding = self.env.instantiate("d_coding")
         rhs = d_coding.decode(r, slp_size, bit_width, max_val)
         return np.stack([lhs, rhs], axis=1), root, empty
 
@@ -546,14 +439,6 @@ class EspCompressor(Compressor):
         m.option("ipd").templated("ipd", "std_unordered_map")
         return m
 
-    def _slp_coder(self):
-        av = self.env.option("slp_coder").as_algorithm()
-        if av.name == "sorted":
-            sub = av.options.get("d_coding")
-            d = D_CODINGS[sub.name if sub is not None else "plain"]
-            return SortedSLPCoder, d
-        return PlainSLPCoder, None
-
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
         with StatPhase("ESP Algorithm") as ph:
@@ -561,30 +446,24 @@ class EspCompressor(Compressor):
             ph.log("SLP size", len(rules))
         with StatPhase("Encode SLP"):
             w = BitWriter()
-            coder, d = self._slp_coder()
-            if d is not None:
-                coder.encode(w, rules, root, empty, d)
-            else:
-                coder.encode(w, rules, root, empty)
+            coder = self.env.instantiate("slp_coder")
+            coder.encode(w, rules, root, empty)
             out.write(w.getvalue())
 
     def decompress(self, inp: Input, out: Output) -> None:
         r = BitReader(inp.as_bytes())
-        coder, d = self._slp_coder()
-        if d is not None:
-            rules, root, empty = coder.decode(r, d)
-        else:
-            rules, root, empty = coder.decode(r)
+        coder = self.env.instantiate("slp_coder")
+        rules, root, empty = coder.decode(r)
         if not empty:
             out.write(derive_text(rules, root))
 
 
 def register(registry):
+    from . import esp_dcoding
+
     registry.register(EspCompressor)
     registry.register(PlainSLPCoder)
     registry.register(SortedSLPCoder)
-    registry.register(DPlain)
-    registry.register(DDiff)
-    registry.register(DWaveletTree)
+    esp_dcoding.register(registry)
     for i in IPDS:
         registry.register(i)

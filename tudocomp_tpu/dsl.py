@@ -229,4 +229,4 @@ def evaluate(ast: Union[AstValue, str], algo_type: str, registry) -> AlgorithmVa
                     )
                 options[decl.name] = decl.default
 
-    return AlgorithmValue(meta.name, options)
+    return AlgorithmValue(meta.name, options, type=meta.type)

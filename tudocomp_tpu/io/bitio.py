@@ -402,6 +402,21 @@ class BitReader:
         self._pos = one_pos + 1
         return v
 
+    def read_unaries(self, count: int) -> np.ndarray:
+        """Vectorized read of `count` unary codes (mirror of read_unary)."""
+        count = int(count)
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        if self._ones is None:
+            self._ones = np.flatnonzero(self._bits[: self._valid])
+        idx = np.searchsorted(self._ones, self._pos)
+        if idx + count > len(self._ones):
+            return np.array([self.read_unary() for _ in range(count)], np.int64)
+        ones = self._ones[idx : idx + count].astype(np.int64)
+        starts = np.concatenate([[self._pos], ones[:-1] + 1])
+        self._pos = int(ones[-1]) + 1
+        return ones - starts
+
     def read_ternary(self) -> int:
         mod = self.read_int(2)
         v = 0

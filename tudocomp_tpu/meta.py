@@ -90,6 +90,9 @@ class AlgorithmValue:
 
     name: str
     options: dict[str, Any] = field(default_factory=dict)
+    # algo type ("compressor", "coder", "d_coding", ...); disambiguates
+    # same-named algorithms of different types during sub-instantiation
+    type: Optional[str] = None
 
     def id_string(self) -> str:
         if not self.options:
@@ -150,8 +153,11 @@ class Env:
     def algorithm_for_option(self, name: str):
         """Resolve a templated option to (class, sub_env)."""
         sub_av = self.option(name).as_algorithm()
-        # sub type comes from the declared option; search all types
-        cls = self.registry.find_class(sub_av.name)
+        if sub_av.type is not None:
+            cls = self.registry.get_class(sub_av.type, sub_av.name)
+        else:
+            # legacy path: search all types (unique names assumed)
+            cls = self.registry.find_class(sub_av.name)
         return cls, Env(self.registry, sub_av)
 
     def instantiate(self, name: str):

@@ -40,7 +40,20 @@ LCPCOMP_COMP = ["heap", "maxlcp", "arrays", "plcppeaks"]
 LCPCOMP_DEC = ["scan", "compact"]
 
 # esp axes (etc/registry_config.py:174-205)
-ESP_SLP_CODERS = ["plain", "sorted", "sorted(d_coding=plain)", "sorted(d_coding=diff)", "sorted(d_coding=wavelet_tree)"]
+ESP_SLP_CODERS = [
+    "plain",
+    "sorted",  # default d_coding = succinct (DMonotonSubseq)
+    "sorted(d_coding=plain)",
+    "sorted(d_coding=huffman)",
+    "sorted(d_coding=diff)",
+    "sorted(d_coding=wavelet_tree)",
+    "sorted(d_coding=range_fit)",
+    "sorted(d_coding=range_fit(wt=true))",
+    "sorted(d_coding=range_fit(threshold=25, wt=true, zero_min=true))",
+    "sorted(d_coding=succinct(subseq=optimal, dx_coder=plain))",
+    "sorted(d_coding=succinct(subseq=greedy, dx_coder=huffman))",
+    "sorted(d_coding=succinct(subseq=greedy, dx_coder=wavelet_tree))",
+]
 ESP_IPD = ["std_unordered_map", "hash_map", "dynamic_size"]
 
 # lfs axes (etc/registry_config.py:207-225)
