@@ -925,6 +925,129 @@ int32_t tdc_lcpcomp_scan_decode(uint8_t* buffer, int64_t n,
     return 0;
 }
 
+// lcpcomp "max_lcp" strategy (lcpcomp/compress/MaxLCPStrategy.hpp:22-99 over
+// MaxLCPSuffixList.hpp): a bucket list sorted by LCP descending where
+// insertion goes to the bucket *front* (most-recent-first tie order,
+// MaxLCPSuffixList::insert :80-123). Realized as per-LCP LIFO stacks with
+// lazy deletion: stale entries (removed or decrease-keyed away) are skipped
+// when popped. Emits the same factors as the reference list walk.
+int64_t tdc_lcpcomp_maxlcp_factorize(const int32_t* sa, const int32_t* isa,
+                                     const int32_t* lcp, int64_t n,
+                                     int64_t threshold, uint32_t* fpos,
+                                     uint32_t* fsrc, uint32_t* flen) {
+    int64_t max_lcp = 0;
+    for (int64_t i = 1; i < n; ++i) max_lcp = std::max<int64_t>(max_lcp, lcp[i]);
+    if (max_lcp < threshold) return 0;
+    std::vector<int32_t> key(lcp, lcp + n);
+    std::vector<uint8_t> alive((size_t)n, 0);
+    std::vector<std::vector<uint32_t>> bucket((size_t)max_lcp + 1);
+    for (int64_t i = 1; i < n; ++i) {
+        if (lcp[i] >= threshold) {
+            bucket[lcp[i]].push_back((uint32_t)i);
+            alive[i] = 1;
+        }
+    }
+    int64_t nf = 0;
+    for (int64_t cur = max_lcp; cur >= threshold;) {
+        std::vector<uint32_t>& b = bucket[cur];
+        if (b.empty()) {
+            --cur;
+            continue;
+        }
+        const uint32_t m = b.back();
+        b.pop_back();
+        if (!alive[m] || key[m] != cur) continue;  // stale entry
+        const int64_t p = sa[m];
+        const int64_t len = key[m];
+        fpos[nf] = (uint32_t)p;
+        fsrc[nf] = (uint32_t)sa[m - 1];
+        flen[nf] = (uint32_t)len;
+        ++nf;
+        // remove overlapped entries (MaxLCPStrategy.hpp:73-78)
+        for (int64_t k = 0; k < len; ++k) alive[isa[p + k]] = 0;
+        // correct intersecting entries (:81-94)
+        for (int64_t k = 0; k < len && p > k; ++k) {
+            const int64_t s = p - k - 1;
+            const int64_t i = isa[s];
+            if (alive[i] && s + key[i] > p) {
+                const int64_t l = p - s;
+                if (l >= threshold) {
+                    key[i] = (int32_t)l;
+                    bucket[l].push_back((uint32_t)i);
+                } else {
+                    alive[i] = 0;
+                }
+            }
+        }
+    }
+    return nf;
+}
+
+// lcpcomp "plcppeaks" strategy (lcpcomp/compress/PLCPPeaksStrategy.hpp:
+// 33-80): a single left-to-right pass over the PLCP array taking every
+// local peak >= threshold as a factor and skipping its length.
+int64_t tdc_lcpcomp_plcppeaks_factorize(const int32_t* sa, const int32_t* isa,
+                                        const int32_t* plcp, int64_t n,
+                                        int64_t threshold, uint32_t* fpos,
+                                        uint32_t* fsrc, uint32_t* flen) {
+    int64_t nf = 0;
+    int64_t last_replacement_pos = 0;
+    for (int64_t i = 0; i + 1 < n;) {
+        if ((i == last_replacement_pos || plcp[i] > plcp[i - 1]) &&
+            plcp[i] > plcp[i + 1] && plcp[i] >= threshold) {
+            fpos[nf] = (uint32_t)i;
+            fsrc[nf] = (uint32_t)sa[isa[i] - 1];
+            flen[nf] = (uint32_t)plcp[i];
+            ++nf;
+            i += plcp[i];
+            last_replacement_pos = i - 1;
+        } else {
+            ++i;
+        }
+    }
+    return nf;
+}
+
+// lcpcomp "compact" decoding (lcpcomp/decompress/CompactDec.hpp:39-117):
+// fully eager — no lazy scans; every unresolved source position gets a
+// forward bucket, resolved transitively the moment its literal is decoded
+// (recursion converted to an explicit stack). Gap literals are pre-placed
+// in the buffer by the stream parse, so factor processing in target order
+// is exactly the reference's interleaved decode_literal/decode_factor walk.
+int32_t tdc_lcpcomp_compact_decode(uint8_t* buffer, int64_t n,
+                                   const uint32_t* tgt, const uint32_t* src,
+                                   const uint32_t* len, int64_t nf) {
+    std::vector<std::vector<uint32_t>> fwd((size_t)n);
+    std::vector<uint32_t> stack;
+    auto decode_literal_at = [&](uint32_t pos, uint8_t c) {
+        stack.clear();
+        stack.push_back(pos);
+        while (!stack.empty()) {
+            uint32_t p = stack.back();
+            stack.pop_back();
+            buffer[p] = c;
+            if (!fwd[p].empty()) {
+                for (uint32_t q : fwd[p]) stack.push_back(q);
+                fwd[p].clear();
+                fwd[p].shrink_to_fit();
+            }
+        }
+    };
+    for (int64_t j = 0; j < nf; ++j) {
+        for (uint32_t i = 0; i < len[j]; ++i) {
+            const int64_t sp = (int64_t)src[j] + i;
+            if (buffer[sp]) {
+                decode_literal_at(tgt[j] + i, buffer[sp]);
+            } else {
+                fwd[sp].push_back(tgt[j] + i);
+            }
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (!buffer[i] && i + 1 != n) return -1;  // undecodable position
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -21,6 +21,50 @@ def test_generators():
         roundtrip("lcpcomp(coder=huff)", text)
 
 
+@pytest.mark.parametrize("comp", ["arrays", "heap", "max_lcp", "plcppeaks"])
+@pytest.mark.parametrize(
+    "dec", ["scan", "compact", "QueueListBuffer", "MultimapListBuffer"]
+)
+def test_strategy_matrix(comp, dec):
+    from tests.util import CORPUS
+
+    for t in CORPUS:
+        c = compress(f"lcpcomp(coder=huff, comp={comp}, dec={dec})", t)
+        assert decompress(c) == t, (comp, dec, t[:40])
+
+
+def test_strategy_cross_impl():
+    import tudocomp_tpu.compressors.lcpcomp as L
+    from tudocomp_tpu.ds.textds import TextDS
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    orig = native.get_lib
+    rng = np.random.default_rng(9)
+    try:
+        for _ in range(15):
+            n = int(rng.integers(2, 300))
+            text = np.concatenate(
+                [rng.integers(97, 101, n).astype(np.uint8), [0]]
+            ).astype(np.uint8)
+            ds = TextDS(text)
+            sa, isa = ds.require_sa(), ds.require_isa()
+            lcp, plcp = ds.require_lcp(), ds.require_plcp()
+            for fn, arr in (
+                (L.maxlcp_factorize, lcp),
+                (L.plcppeaks_factorize, plcp),
+            ):
+                a = fn(sa, isa, arr, 3)
+                native.get_lib = lambda: None
+                b = fn(sa, isa, arr, 3)
+                native.get_lib = orig
+                assert (a.pos == b.pos).all()
+                assert (a.src == b.src).all()
+                assert (a.len == b.len).all()
+    finally:
+        native.get_lib = orig
+
+
 @pytest.mark.parametrize(
     "opts",
     ["flatten=0", "threshold=3", "threshold=22", "dec=scan(scans=0)", "dec=scan(scans=2)"],

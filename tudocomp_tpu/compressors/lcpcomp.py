@@ -10,10 +10,12 @@ is the shared lzss format. Decompression is the scan decoder
 lazy passes, then eager chain resolution over forward-reference buckets.
 
 Strategy axes: comp in {arrays (default, bucket arrays), heap (max-heap
-with decrease-key, MaxHeapStrategy.hpp), maxlcp, plcppeaks (alias to
-arrays — same maximal-LCP factor semantics)}; dec in {scan (default),
-compact (alias)}. Tie order among equal-LCP candidates is
-strategy-implementation specific, here as in the reference.
+with decrease-key, MaxHeapStrategy.hpp), max_lcp/maxlcp (bucket list with
+most-recent-first tie order, MaxLCPStrategy.hpp + MaxLCPSuffixList.hpp),
+plcppeaks (single pass over PLCP local peaks, PLCPPeaksStrategy.hpp)};
+dec in {scan (default, lazy scans + eager pass, ScanDec.hpp), compact
+(fully eager forward buckets, CompactDec.hpp)}. Tie order among equal-LCP
+candidates is strategy-implementation specific, here as in the reference.
 """
 
 from __future__ import annotations
@@ -134,6 +136,105 @@ def heap_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
     return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
 
 
+def maxlcp_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
+    """MaxLCPStrategy.hpp:22-99 over MaxLCPSuffixList.hpp (native); the tie
+    order among equal-LCP entries is most-recent-first (bucket-front
+    insertion). Python mirror uses the same lazy-deletion LIFO buckets."""
+    n = len(sa)
+    lib = native.get_lib()
+    if lib is not None and n:
+        fpos = np.empty(n, np.uint32)
+        fsrc = np.empty(n, np.uint32)
+        flen = np.empty(n, np.uint32)
+        nf = lib.tdc_lcpcomp_maxlcp_factorize(
+            np.ascontiguousarray(sa, np.int32),
+            np.ascontiguousarray(isa, np.int32),
+            np.ascontiguousarray(lcp, np.int32),
+            n,
+            threshold,
+            fpos,
+            fsrc,
+            flen,
+        )
+        return lzss_common.Factors(fpos[:nf].copy(), fsrc[:nf].copy(), flen[:nf].copy())
+    key = [int(x) for x in lcp]
+    max_lcp = max(key[1:], default=0)
+    if max_lcp < threshold:
+        return lzss_common.Factors([], [], [])
+    alive = [False] * n
+    bucket: list[list[int]] = [[] for _ in range(max_lcp + 1)]
+    for i in range(1, n):
+        if key[i] >= threshold:
+            bucket[key[i]].append(i)
+            alive[i] = True
+    fpos_l, fsrc_l, flen_l = [], [], []
+    cur = max_lcp
+    while cur >= threshold:
+        b = bucket[cur]
+        if not b:
+            cur -= 1
+            continue
+        m = b.pop()
+        if not alive[m] or key[m] != cur:
+            continue  # stale
+        p, ln = int(sa[m]), key[m]
+        fpos_l.append(p)
+        fsrc_l.append(int(sa[m - 1]))
+        flen_l.append(ln)
+        for k in range(ln):
+            alive[int(isa[p + k])] = False
+        for k in range(min(ln, p)):
+            s = p - k - 1
+            i = int(isa[s])
+            if alive[i] and s + key[i] > p:
+                l2 = p - s
+                if l2 >= threshold:
+                    key[i] = l2
+                    bucket[l2].append(i)
+                else:
+                    alive[i] = False
+    return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
+
+
+def plcppeaks_factorize(sa, isa, plcp, threshold: int) -> lzss_common.Factors:
+    """PLCPPeaksStrategy.hpp:33-80 (native): single left-to-right pass
+    taking every PLCP local peak >= threshold, skipping its length."""
+    n = len(sa)
+    lib = native.get_lib()
+    if lib is not None and n:
+        fpos = np.empty(n, np.uint32)
+        fsrc = np.empty(n, np.uint32)
+        flen = np.empty(n, np.uint32)
+        nf = lib.tdc_lcpcomp_plcppeaks_factorize(
+            np.ascontiguousarray(sa, np.int32),
+            np.ascontiguousarray(isa, np.int32),
+            np.ascontiguousarray(plcp, np.int32),
+            n,
+            threshold,
+            fpos,
+            fsrc,
+            flen,
+        )
+        return lzss_common.Factors(fpos[:nf].copy(), fsrc[:nf].copy(), flen[:nf].copy())
+    fpos_l, fsrc_l, flen_l = [], [], []
+    last_replacement_pos = 0
+    i = 0
+    while i + 1 < n:
+        if (
+            (i == last_replacement_pos or plcp[i] > plcp[i - 1])
+            and plcp[i] > plcp[i + 1]
+            and plcp[i] >= threshold
+        ):
+            fpos_l.append(i)
+            fsrc_l.append(int(sa[int(isa[i]) - 1]))
+            flen_l.append(int(plcp[i]))
+            i += int(plcp[i])
+            last_replacement_pos = i - 1
+        else:
+            i += 1
+    return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
+
+
 def sort_and_flatten(factors: lzss_common.Factors, flatten: bool) -> lzss_common.Factors:
     order = np.argsort(factors.pos, kind="stable")
     fpos = factors.pos[order].astype(np.uint32)
@@ -187,12 +288,18 @@ def _make_axis(algo_type, ident, doc, options=()):
 COMP_STRATEGIES = [
     _make_axis("lcpcomp_comp", "arrays", "Bucket arrays by LCP value"),
     _make_axis("lcpcomp_comp", "heap", "Max-LCP heap strategy"),
-    _make_axis("lcpcomp_comp", "maxlcp", "Max-LCP suffix list strategy"),
+    _make_axis("lcpcomp_comp", "max_lcp", "Max-LCP suffix list strategy"),
     _make_axis("lcpcomp_comp", "plcppeaks", "PLCP peaks strategy"),
 ]
 DEC_STRATEGIES = [
     _make_axis("lcpcomp_dec", "scan", "Lazy scans + eager decoding", (("scans", 6),)),
-    _make_axis("lcpcomp_dec", "compact", "Compact forward-pointer decoding"),
+    _make_axis("lcpcomp_dec", "compact", "Eager forward-bucket decoding"),
+    # QueueListBuffer / MultimapListBuffer (DecodeQueueListBuffer.hpp:15,
+    # MultiMapBuffer.hpp:15) are eager forward-resolution variants that
+    # differ only in the C++ container; they route to the compact decoder
+    # (identical output, container choice is a host-memory axis).
+    _make_axis("lcpcomp_dec", "QueueListBuffer", "Eager queue-list decoding"),
+    _make_axis("lcpcomp_dec", "MultimapListBuffer", "Eager multimap decoding"),
 ]
 
 
@@ -210,16 +317,23 @@ class LCPCompressor(Compressor):
 
     def compress(self, inp: Input, out: Output) -> None:
         text = inp.as_array()
+        comp_name = self.env.option("comp").as_algorithm().name
         with StatPhase("Construct Text DS"):
             ds = TextDS(text)
             sa = ds.require_sa()
             isa = ds.require_isa()
-            lcp = ds.require_lcp()
+            if comp_name == "plcppeaks":
+                plcp = ds.require_plcp()
+            else:
+                lcp = ds.require_lcp()
         threshold = self.env.option("threshold").as_integer()
-        comp_name = self.env.option("comp").as_algorithm().name
         with StatPhase("Factorize") as ph:
             if comp_name == "heap":
                 factors = heap_factorize(sa, isa, lcp, threshold)
+            elif comp_name == "max_lcp":
+                factors = maxlcp_factorize(sa, isa, lcp, threshold)
+            elif comp_name == "plcppeaks":
+                factors = plcppeaks_factorize(sa, isa, plcp, threshold)
             else:
                 factors = arrays_factorize(sa, isa, lcp, threshold)
             ph.log("threshold", threshold)
@@ -242,6 +356,7 @@ class LCPCompressor(Compressor):
         coder_cls, coder_env = self.env.algorithm_for_option("coder")
         r = BitReader(inp.as_bytes())
         dec = coder_cls.Decoder(coder_env, r)
+        dec_name = self.env.option("dec").as_algorithm().name
         try:
             scans = int(
                 self.env.env_for_option("dec").option("scans").as_integer()
@@ -274,19 +389,50 @@ class LCPCompressor(Compressor):
                 len_l.append(ln)
                 cursor += ln
 
-        with StatPhase("Scan Decoding"):
+        with StatPhase("Decode Factors"):
             lib = native.get_lib()
             tgt = np.array(tgt_l, np.uint32)
             srcs = np.array(src_l, np.uint32)
             lens = np.array(len_l, np.uint32)
-            if lib is not None:
-                rc = lib.tdc_lcpcomp_scan_decode(
-                    buffer, n, tgt, srcs, lens, len(tgt), scans
-                )
-                assert rc == 0, "undecodable lcpcomp stream"
-            else:
-                self._python_scan_decode(buffer, tgt, srcs, lens, scans)
+            if dec_name == "scan":
+                if lib is not None:
+                    rc = lib.tdc_lcpcomp_scan_decode(
+                        buffer, n, tgt, srcs, lens, len(tgt), scans
+                    )
+                    assert rc == 0, "undecodable lcpcomp stream"
+                else:
+                    self._python_scan_decode(buffer, tgt, srcs, lens, scans)
+            else:  # compact / QueueListBuffer / MultimapListBuffer: eager
+                if lib is not None:
+                    rc = lib.tdc_lcpcomp_compact_decode(
+                        buffer, n, tgt, srcs, lens, len(tgt)
+                    )
+                    assert rc == 0, "undecodable lcpcomp stream"
+                else:
+                    self._python_compact_decode(buffer, tgt, srcs, lens)
         out.write(buffer[:cursor])
+
+    @staticmethod
+    def _python_compact_decode(buffer, tgt, srcs, lens):
+        """CompactDec.hpp:39-117: fully eager forward buckets."""
+        fwd: dict[int, list[int]] = {}
+
+        def decode_literal_at(pos, c):
+            stack = [pos]
+            while stack:
+                p = stack.pop()
+                buffer[p] = c
+                q = fwd.pop(p, None)
+                if q:
+                    stack.extend(q)
+
+        for j in range(len(tgt)):
+            for i in range(int(lens[j])):
+                sp = int(srcs[j]) + i
+                if buffer[sp]:
+                    decode_literal_at(int(tgt[j]) + i, buffer[sp])
+                else:
+                    fwd.setdefault(sp, []).append(int(tgt[j]) + i)
 
     @staticmethod
     def _python_scan_decode(buffer, tgt0, src0, len0, scans):

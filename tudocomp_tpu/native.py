@@ -141,6 +141,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u32p,
         u32p,
     ]
+    lib.tdc_lcpcomp_maxlcp_factorize.restype = i64
+    lib.tdc_lcpcomp_maxlcp_factorize.argtypes = [
+        i32p,
+        i32p,
+        i32p,
+        i64,
+        i64,
+        u32p,
+        u32p,
+        u32p,
+    ]
+    lib.tdc_lcpcomp_plcppeaks_factorize.restype = i64
+    lib.tdc_lcpcomp_plcppeaks_factorize.argtypes = [
+        i32p,
+        i32p,
+        i32p,
+        i64,
+        i64,
+        u32p,
+        u32p,
+        u32p,
+    ]
+    lib.tdc_lcpcomp_compact_decode.restype = ctypes.c_int32
+    lib.tdc_lcpcomp_compact_decode.argtypes = [u8p, i64, u32p, u32p, u32p, i64]
     lib.tdc_lcpcomp_flatten.restype = None
     lib.tdc_lcpcomp_flatten.argtypes = [u32p, u32p, u32p, i64]
     lib.tdc_lcpcomp_scan_decode.restype = ctypes.c_int32

@@ -36,8 +36,8 @@ LZ78_TRIES = [
 
 # lcpcomp axes (etc/registry_config.py:139-166)
 LCPCOMP_CODERS = ["ascii", "sle", "huff"]
-LCPCOMP_COMP = ["heap", "maxlcp", "arrays", "plcppeaks"]
-LCPCOMP_DEC = ["scan", "compact"]
+LCPCOMP_COMP = ["heap", "max_lcp", "arrays", "plcppeaks"]
+LCPCOMP_DEC = ["scan", "QueueListBuffer", "compact", "MultimapListBuffer"]
 
 # esp axes (etc/registry_config.py:174-205)
 ESP_SLP_CODERS = [
