@@ -75,10 +75,17 @@ class TestLFS:
         for text in generator_strings():
             roundtrip("lfs_comp", text)
 
-    def test_rules_nonoverlap(self):
-        from tudocomp_tpu.compressors.lfs import esa_compute_rules
+    @pytest.mark.parametrize("strat", ["st", "bst", "sim_st", "st(min_lrf=3)"])
+    def test_st_strategies(self, strat):
+        for text in CORPUS:
+            roundtrip(f"lfs_comp(computing_strat={strat})", text)
+
+    @pytest.mark.parametrize("fn_name", ["esa_compute_rules", "st_compute_rules"])
+    def test_rules_nonoverlap(self, fn_name):
+        import tudocomp_tpu.compressors.lfs as lfs_mod
         from tudocomp_tpu.ds.textds import TextDS
 
+        compute = getattr(lfs_mod, fn_name)
         rng = np.random.default_rng(1)
         for _ in range(10):
             n = int(rng.integers(10, 300))
@@ -86,7 +93,7 @@ class TestLFS:
                 [rng.integers(97, 101, n).astype(np.uint8), [0]]
             ).astype(np.uint8)
             ds = TextDS(text)
-            dictionary, nts = esa_compute_rules(
+            dictionary, nts = compute(
                 text, ds.require_sa(), ds.require_lcp()
             )
             # substituted regions must not overlap and must match their rule

@@ -15,8 +15,15 @@ literal/length coding strategy (lfs/EncodeStrategy.hpp:41-269):
             then the start string as bit-flagged (literal | rule number in
             Range(#rules)) items.
 
-The computing_strat axis registers "esa"; the suffix-tree variants of the
-reference (st/bst/sim_st, marked WIP there) share the esa implementation.
+The computing_strat axis: "esa" (ESAStrategy.hpp) buckets SA positions by
+overlap-clamped LCP; "st" (STStrategy.hpp:21-308) walks the suffix tree —
+inner nodes binned by string depth, processed longest-first, each node's
+occurrence list = the suffixes in its subtree, greedy non-overlap selection
+with the min_shorter re-add rule (a node whose tail is dead re-enters the
+bin of its longest free prefix when that exceeds the parent depth).
+"bst"/"sim_st" (BSTStrategy.hpp, SimSTStrategy.hpp) differ from st only in
+tree containers and micro-filtering (both WIP in the reference,
+registry_config.py:207-212) and route to the st walk here.
 """
 
 from __future__ import annotations
@@ -103,6 +110,91 @@ def esa_compute_rules(text: np.ndarray, sa, lcp):
     return dictionary, nts
 
 
+def st_compute_rules(text: np.ndarray, sa, lcp, min_lrf: int = MIN_LRF):
+    """STStrategy::compute_rules (lfs/STStrategy.hpp:159-308) on the array
+    suffix tree: inner nodes in bins by string depth (lexicographic preorder
+    within a bin; the reference's unordered child map leaves this order
+    unspecified), processed from deepest down to min_lrf."""
+    from ..ds.suffix_tree import SuffixTree
+
+    n = len(text)
+    st = SuffixTree(sa, lcp)
+    ni = st.num_internal
+    # SA interval [lb, rb] per internal node: leaf bounds propagated up
+    lb = np.full(ni, n + 1, np.int64)
+    rb = np.full(ni, -1, np.int64)
+    ranks = np.arange(n, dtype=np.int64)
+    np.minimum.at(lb, st.leaf_parent, ranks)
+    np.maximum.at(rb, st.leaf_parent, ranks)
+    for v in np.argsort(-st.sdepth, kind="stable"):
+        v = int(v)
+        if v == 0:
+            continue
+        p = int(st.parent[v])
+        lb[p] = min(lb[p], lb[v])
+        rb[p] = max(rb[p], rb[v])
+
+    bins: dict[int, list[int]] = {}
+    preorder = np.lexsort((-st.sdepth, lb))
+    max_depth = 0
+    for v in preorder:
+        d = int(st.sdepth[v])
+        if d > 0:
+            bins.setdefault(d, []).append(int(v))
+            max_depth = max(max_depth, d)
+
+    dead = np.zeros(n, dtype=bool)
+    dictionary: list[tuple[int, int]] = []
+    nts: list[tuple[int, int, int]] = []
+    poscache: dict[int, np.ndarray] = {}
+
+    def select_starting_positions(v: int, length: int, positions):
+        """STStrategy.hpp:94-146 incl. the min_shorter re-add rule."""
+        selected = []
+        min_shorter = 1
+        last = -length - 1
+        for cur in positions:
+            cur = int(cur)
+            if (
+                last + length <= cur
+                and not dead[cur]
+                and not dead[cur + length - 1]
+            ):
+                selected.append(cur)
+                last = cur
+            if cur < n and not dead[cur] and dead[cur + length - 1]:
+                while cur + min_shorter < n and not dead[cur + min_shorter]:
+                    min_shorter += 1
+        if min_shorter < length and min_shorter >= min_lrf:
+            if int(st.sdepth[st.parent[v]]) < min_shorter:
+                bins.setdefault(min_shorter, []).append(v)
+        return selected
+
+    for i in range(max_depth, min_lrf - 1, -1):
+        queue = bins.get(i)
+        if not queue:
+            continue
+        for v in queue:
+            pos = poscache.get(v)
+            if pos is None:
+                pos = np.sort(np.asarray(sa[lb[v] : rb[v] + 1], np.int64))
+                poscache[v] = pos
+            if len(pos) < 2 or int(pos[-1]) - int(pos[0]) < i:
+                continue
+            if dead[int(pos[-1])] or dead[int(pos[0])]:
+                continue
+            sel = select_starting_positions(v, i, pos)
+            if len(sel) < 2:
+                continue
+            dictionary.append((sel[0], i))
+            sym = len(dictionary) - 1
+            for s in sel:
+                nts.append((s, sym, i))
+                dead[s : s + i] = True
+    nts.sort()
+    return dictionary, nts
+
+
 class ESAStrategy(Algorithm):
     @classmethod
     def meta(cls) -> Meta:
@@ -114,7 +206,9 @@ def _make_strategy(ident, doc):
     class S(Algorithm):
         @classmethod
         def meta(cls) -> Meta:
-            return Meta("lfs_comp", ident, doc)
+            m = Meta("lfs_comp", ident, doc)
+            m.option("min_lrf").dynamic(2)
+            return m
 
     S.__name__ = f"LFS_{ident}"
     return S
@@ -154,12 +248,19 @@ class LFSCompressor(Compressor):
         text = inp.as_array()
         dictionary: list[tuple[int, int]] = []
         nts: list[tuple[int, int, int]] = []
+        strat_av = self.env.option("computing_strat").as_algorithm()
         if len(text) > 1:
             with StatPhase("computing lrfs"):
                 ds = TextDS(text)
                 sa = ds.require_sa()
                 lcp = ds.require_lcp()
-                dictionary, nts = esa_compute_rules(text, sa, lcp)
+                if strat_av.name in ("st", "bst", "sim_st"):
+                    min_lrf = int(strat_av.options.get("min_lrf", MIN_LRF))
+                    dictionary, nts = st_compute_rules(
+                        text, sa, lcp, max(min_lrf, 2)
+                    )
+                else:
+                    dictionary, nts = esa_compute_rules(text, sa, lcp)
 
         with StatPhase("encoding input"):
             w = BitWriter()
