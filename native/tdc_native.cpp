@@ -146,6 +146,146 @@ int64_t tdc_lz78_decode(const uint32_t* parents, const uint8_t* chars,
 // LZW parse (semantics of LZWCompressor.hpp:38-105): dict pre-seeded with
 // 256 root nodes (ids 0..255); factor i emits node_id in
 // [0, i+256]; new node id = 256 + i. Returns factor count (buffer: n).
+// Pointer-trie family (lz78/BinaryTrie.hpp, BinarySortedTrie.hpp,
+// TernaryTrie.hpp): children of a node stored as an unsorted sibling list
+// (binary), a char-sorted sibling list (binarysorted), or a sibling BST
+// keyed by the edge char (ternary). find_or_insert semantics — and thus
+// the emitted factors — are identical across all tries; only the walk
+// differs (the reference's speed axis).
+struct PointerTrie {
+    // kind: 1 = binary, 2 = binarysorted, 3 = ternary
+    int kind;
+    std::vector<uint32_t> first_child;
+    std::vector<uint32_t> sib_a;  // next_sibling / left
+    std::vector<uint32_t> sib_b;  // (ternary) right
+    std::vector<uint8_t> lit;
+    static constexpr uint32_t UNDEF = UINT32_MAX;
+
+    PointerTrie(int kind_, size_t reserve, size_t roots) : kind(kind_) {
+        first_child.reserve(reserve + roots);
+        sib_a.reserve(reserve + roots);
+        lit.reserve(reserve + roots);
+        if (kind == 3) sib_b.reserve(reserve + roots);
+        for (size_t r = 0; r < roots; ++r) new_node(0);
+    }
+
+    uint32_t new_node(uint8_t c) {
+        first_child.push_back(UNDEF);
+        sib_a.push_back(UNDEF);
+        if (kind == 3) sib_b.push_back(UNDEF);
+        lit.push_back(c);
+        return (uint32_t)(first_child.size() - 1);
+    }
+
+    // returns existing child id, or UNDEF after inserting a new leaf
+    uint32_t find_or_insert(uint32_t parent, uint8_t c) {
+        uint32_t node = first_child[parent];
+        if (node == UNDEF) {
+            const uint32_t id = new_node(c);  // may reallocate
+            first_child[parent] = id;
+            return UNDEF;
+        }
+        if (kind == 1) {  // unsorted sibling list (BinaryTrie.hpp:73-97)
+            while (true) {
+                if (lit[node] == c) return node;
+                if (sib_a[node] == UNDEF) {
+                    const uint32_t id = new_node(c);
+                    sib_a[node] = id;
+                    return UNDEF;
+                }
+                node = sib_a[node];
+            }
+        } else if (kind == 2) {  // sorted list (BinarySortedTrie.hpp:64-96)
+            if (lit[node] > c) {
+                uint32_t id = new_node(c);
+                sib_a[id] = node;
+                first_child[parent] = id;
+                return UNDEF;
+            }
+            while (true) {
+                if (lit[node] == c) return node;
+                uint32_t next = sib_a[node];
+                if (next == UNDEF || lit[next] > c) {
+                    uint32_t id = new_node(c);
+                    sib_a[id] = next;
+                    sib_a[node] = id;
+                    return UNDEF;
+                }
+                node = next;
+            }
+        } else {  // sibling BST keyed by char (TernaryTrie.hpp:85-120)
+            while (true) {
+                if (lit[node] == c) return node;
+                const bool left = c < lit[node];
+                uint32_t next = left ? sib_a[node] : sib_b[node];
+                if (next == UNDEF) {
+                    // new_node may reallocate: write via index afterwards
+                    const uint32_t id = new_node(c);
+                    if (left)
+                        sib_a[node] = id;
+                    else
+                        sib_b[node] = id;
+                    return UNDEF;
+                }
+                node = next;
+            }
+        }
+    }
+};
+
+int64_t tdc_lz78_parse_trie(const uint8_t* data, int64_t n, uint32_t* parents,
+                            uint8_t* chars, int32_t kind) {
+    PointerTrie trie(kind, (size_t)n, 1);
+    // trie node ids are allocation-ordered; factor ids are creation-ordered
+    // and coincide (roots excluded): node id = factor id + 1
+    std::vector<uint32_t> node_parent(1, 0);
+    std::vector<uint8_t> node_char(1, 0);
+    int64_t nf = 0;
+    uint32_t node = 0;
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t c = data[i++];
+        uint32_t found = trie.find_or_insert(node, c);
+        if (found == PointerTrie::UNDEF) {
+            parents[nf] = node;
+            chars[nf] = c;
+            ++nf;
+            node_parent.push_back(node);
+            node_char.push_back(c);
+            node = 0;
+        } else {
+            node = found;
+        }
+    }
+    if (node != 0) {
+        parents[nf] = node_parent[node];
+        chars[nf] = node_char[node];
+        ++nf;
+    }
+    return nf;
+}
+
+int64_t tdc_lzw_parse_trie(const uint8_t* data, int64_t n, uint32_t* codes,
+                           int32_t kind) {
+    if (n == 0) return 0;
+    PointerTrie trie(kind, (size_t)n, 256);
+    int64_t nf = 0;
+    int64_t i = 0;
+    uint32_t node = data[i++];
+    while (i < n) {
+        uint8_t c = data[i++];
+        uint32_t found = trie.find_or_insert(node, c);
+        if (found == PointerTrie::UNDEF) {
+            codes[nf++] = node;
+            node = c;
+        } else {
+            node = found;
+        }
+    }
+    codes[nf++] = node;
+    return nf;
+}
+
 int64_t tdc_lzw_parse(const uint8_t* data, int64_t n, uint32_t* codes) {
     if (n == 0) return 0;
     HashTrie trie((size_t)n + 256);

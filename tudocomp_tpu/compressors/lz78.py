@@ -28,7 +28,14 @@ from ..stats.phase import StatPhase
 from .. import native
 
 
-def lz78_parse(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+# pointer-trie kinds in the native runtime (PointerTrie in tdc_native.cpp);
+# everything else on the axis (hash family, cedar, compact_sparse_hash, ...)
+# uses the open-addressing hash trie. Factor output is identical across
+# tries — the axis is the reference's speed axis (lz78/LZ78Trie.hpp).
+TRIE_KINDS = {"binary": 1, "binarysorted": 2, "ternary": 3}
+
+
+def lz78_parse(data: np.ndarray, trie: str = "hash") -> tuple[np.ndarray, np.ndarray]:
     """Parse into (parents, chars) factor arrays."""
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
@@ -38,7 +45,11 @@ def lz78_parse(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if lib is not None:
         parents = np.empty(n, dtype=np.uint32)
         chars = np.empty(n, dtype=np.uint8)
-        nf = lib.tdc_lz78_parse(data, n, parents, chars)
+        kind = TRIE_KINDS.get(trie, 0)
+        if kind:
+            nf = lib.tdc_lz78_parse_trie(data, n, parents, chars, kind)
+        else:
+            nf = lib.tdc_lz78_parse(data, n, parents, chars)
         return parents[:nf].copy(), chars[:nf].copy()
     # pure-Python fallback
     trie: dict[tuple[int, int], int] = {}
@@ -112,8 +123,9 @@ class LZ78Compressor(Compressor):
 
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
+        trie = self.env.option("lz78trie").as_algorithm().name
         with StatPhase("Lz78 compression") as phase:
-            parents, chars = lz78_parse(data)
+            parents, chars = lz78_parse(data, trie)
             phase.log("factor_count", len(parents))
             coder_cls, coder_env = self.env.algorithm_for_option("coder")
             w = BitWriter()

@@ -23,7 +23,9 @@ from ..stats.phase import StatPhase
 from .. import native
 
 
-def lzw_parse(data: np.ndarray) -> np.ndarray:
+def lzw_parse(data: np.ndarray, trie: str = "hash") -> np.ndarray:
+    from .lz78 import TRIE_KINDS
+
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
     if n == 0:
@@ -31,7 +33,11 @@ def lzw_parse(data: np.ndarray) -> np.ndarray:
     lib = native.get_lib()
     if lib is not None:
         codes = np.empty(n, dtype=np.uint32)
-        nf = lib.tdc_lzw_parse(data, n, codes)
+        kind = TRIE_KINDS.get(trie, 0)
+        if kind:
+            nf = lib.tdc_lzw_parse_trie(data, n, codes, kind)
+        else:
+            nf = lib.tdc_lzw_parse(data, n, codes)
         return codes[:nf].copy()
     trie: dict[tuple[int, int], int] = {}
     codes_l: list[int] = []
@@ -112,8 +118,9 @@ class LZWCompressor(Compressor):
 
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
+        trie = self.env.option("lz78trie").as_algorithm().name
         with StatPhase("LZW Compression") as phase:
-            codes = lzw_parse(data)
+            codes = lzw_parse(data, trie)
             phase.log("factor_count", len(codes))
             coder_cls, coder_env = self.env.algorithm_for_option("coder")
             w = BitWriter()
