@@ -992,6 +992,117 @@ void tdc_lcpcomp_flatten(uint32_t* fpos, uint32_t* fsrc, uint32_t* flen,
         if (depth) fsrc[i] = (uint32_t)src;
     }
 }
+}  // extern "C"
+
+namespace {
+// MSB-first bit cursor over the stream payload; bits past `valid` read 0
+// (mirror of io/bitio.py BitReader semantics incl. EOF zero-padding).
+struct BitCursor {
+    const uint8_t* data;
+    int64_t nbytes;
+    int64_t pos;
+    int64_t valid;
+    bool eof() const { return pos >= valid; }
+    int bit() {
+        int64_t p = pos++;
+        if (p >= valid) return 0;
+        return (data[p >> 3] >> (7 - (p & 7))) & 1;
+    }
+    uint64_t read(int nb) {
+        if (nb <= 0) return 0;
+        int64_t p = pos;
+        pos += nb;
+        if (nb <= 56 && ((p >> 3) + 8) <= nbytes && p + nb <= valid) {
+            uint64_t w = 0;
+            const uint8_t* q = data + (p >> 3);
+            for (int i = 0; i < 8; ++i) w = (w << 8) | q[i];
+            return (w >> (64 - (p & 7) - nb)) & ((1ULL << nb) - 1);
+        }
+        uint64_t v = 0;
+        for (int i = 0; i < nb; ++i) {
+            int64_t q = p + i;
+            int b = (q < valid) ? ((data[q >> 3] >> (7 - (q & 7))) & 1) : 0;
+            v = (v << 1) | (uint64_t)b;
+        }
+        return v;
+    }
+};
+
+inline int bits_for64(uint64_t x) { return x ? (64 - __builtin_clzll(x)) : 1; }
+}  // namespace
+
+extern "C" {
+// Shared lzss stream parse (lzss/LZSSCoding.hpp:94-140 loop shape): after the
+// caller decoded the header (n, flen_min, flen_max, fdist_max), parse
+// [gap-flag | gap len | gap literals | src | len]* placing gap literals at
+// their absolute positions in `out` and collecting factors. Literals are
+// raw 8-bit (bit coder / degenerate huff) or canonical-Huffman codes
+// (use_huff=1 with the table arrays). Returns factor count, -1 on a
+// malformed stream; cursor_out[0] = decoded length.
+int64_t tdc_lzss_stream_parse(const uint8_t* data, int64_t nbytes,
+                              int64_t start_bit, int64_t valid_bits,
+                              int64_t n, int64_t flen_min, int64_t flen_max,
+                              int64_t fdist_max, int32_t use_huff,
+                              const uint64_t* firstcodes, const int64_t* psl,
+                              const uint8_t* ordered_syms, int32_t longest,
+                              uint8_t* out, uint32_t* tgt, uint32_t* srcs,
+                              uint32_t* lens, int64_t* cursor_out) {
+    BitCursor cur{data, nbytes, start_bit, valid_bits};
+    const int w_text = bits_for64((uint64_t)n);
+    const int w_dist = bits_for64((uint64_t)fdist_max);
+    const int w_len = bits_for64((uint64_t)(flen_max - flen_min));
+    int64_t cursor = 0, nf = 0;
+    while (!cur.eof()) {
+        int64_t num = cur.bit() ? (int64_t)cur.read(w_dist) : 0;
+        if (num) {
+            if (cursor + num > n) return -1;
+            if (use_huff) {
+                for (int64_t i = 0; i < num; ++i) {
+                    uint64_t value = 0;
+                    int len = 0;
+                    while (len < longest) {
+                        value = (value << 1) | (uint64_t)cur.bit();
+                        ++len;
+                        if (value >= firstcodes[len - 1]) break;
+                    }
+                    out[cursor++] =
+                        ordered_syms[psl[len - 1] +
+                                     (int64_t)(value - firstcodes[len - 1])];
+                }
+            } else {
+                for (int64_t i = 0; i < num; ++i)
+                    out[cursor++] = (uint8_t)cur.read(8);
+            }
+        }
+        if (!cur.eof()) {
+            int64_t src = (int64_t)cur.read(w_text);
+            int64_t ln = flen_min + (int64_t)cur.read(w_len);
+            if (cursor + ln > n || src > n || nf >= n) return -1;
+            tgt[nf] = (uint32_t)cursor;
+            srcs[nf] = (uint32_t)src;
+            lens[nf] = (uint32_t)ln;
+            ++nf;
+            cursor += ln;
+        }
+    }
+    cursor_out[0] = cursor;
+    return nf;
+}
+
+// DecodeBackBuffer factor resolution (lzss/LZSSDecodeBackBuffer.hpp):
+// in-order byte-wise copies; overlapping self-referential factors replicate.
+void tdc_lzss_apply_factors(uint8_t* out, const uint32_t* tgt,
+                            const uint32_t* srcs, const uint32_t* lens,
+                            int64_t nf) {
+    for (int64_t j = 0; j < nf; ++j) {
+        uint8_t* d = out + tgt[j];
+        const uint8_t* s = out + srcs[j];
+        for (uint32_t i = 0; i < lens[j]; ++i) d[i] = s[i];
+    }
+}
+}  // extern "C"
+
+extern "C" {
 
 // lcpcomp scan decoding (lcpcomp/decompress/ScanDec.hpp): buffer starts
 // with the gap literals placed (0 = empty); factors arrive in stream order

@@ -373,27 +373,38 @@ class LCPCompressor(Compressor):
         fdist_max = dec.decode(text_r)
         fdist_r = Range(fdist_max)
 
-        buffer = np.zeros(n, dtype=np.uint8)
-        cursor = 0
-        tgt_l, src_l, len_l = [], [], []
-        while not dec.eof():
-            num = dec.decode(fdist_r) if dec.decode(bit_r) else 0
-            if num:
-                buffer[cursor : cursor + num] = dec.decode_array(num, literal_r)
-                cursor += num
-            if not dec.eof():
-                src = dec.decode(text_r)
-                ln = dec.decode(flen_r)
-                tgt_l.append(cursor)
-                src_l.append(src)
-                len_l.append(ln)
-                cursor += ln
-
-        with StatPhase("Decode Factors"):
-            lib = native.get_lib()
+        parsed = lzss_common.native_stream_parse(
+            dec, n, flen_min, flen_max, fdist_max
+        )
+        if parsed is not None:
+            buffer, cursor, tgt, srcs, lens = parsed
+            tgt = np.ascontiguousarray(tgt)
+            srcs = np.ascontiguousarray(srcs)
+            lens = np.ascontiguousarray(lens)
+        else:
+            buffer = np.zeros(n, dtype=np.uint8)
+            cursor = 0
+            tgt_l, src_l, len_l = [], [], []
+            while not dec.eof():
+                num = dec.decode(fdist_r) if dec.decode(bit_r) else 0
+                if num:
+                    buffer[cursor : cursor + num] = dec.decode_array(
+                        num, literal_r
+                    )
+                    cursor += num
+                if not dec.eof():
+                    src = dec.decode(text_r)
+                    ln = dec.decode(flen_r)
+                    tgt_l.append(cursor)
+                    src_l.append(src)
+                    len_l.append(ln)
+                    cursor += ln
             tgt = np.array(tgt_l, np.uint32)
             srcs = np.array(src_l, np.uint32)
             lens = np.array(len_l, np.uint32)
+
+        with StatPhase("Decode Factors"):
+            lib = native.get_lib()
             if dec_name == "scan":
                 if lib is not None:
                     rc = lib.tdc_lcpcomp_scan_decode(

@@ -130,6 +130,60 @@ def encode_text(enc, w, text: np.ndarray, factors: Factors) -> None:
                 p += 1
 
 
+def native_stream_parse(dec, n, flen_min, flen_max, fdist_max):
+    """Native parse of the post-header lzss stream (tdc_lzss_stream_parse):
+    gap literals placed into a fresh buffer, factors returned as arrays.
+    Returns (buffer, cursor, tgt, srcs, lens) or None when the coder or the
+    native lib can't serve it."""
+    from .. import native
+
+    lib = native.get_lib()
+    spt = getattr(dec, "stream_parse_tables", lambda: None)()
+    if lib is None or spt is None:
+        return None
+    use_huff, tables = spt
+    if tables is None:
+        fc = np.zeros(1, np.uint64)
+        psl = np.zeros(1, np.int64)
+        syms = np.zeros(1, np.uint8)
+        longest = 0
+        use_huff = 0
+    else:
+        fc, psl, syms, longest = tables
+    r = dec.r
+    data = np.frombuffer(r._data, np.uint8)
+    out = np.zeros(max(n, 1), np.uint8)
+    cap = max(n, 1)
+    tgt = np.empty(cap, np.uint32)
+    srcs = np.empty(cap, np.uint32)
+    lens = np.empty(cap, np.uint32)
+    cursor_out = np.zeros(1, np.int64)
+    nf = lib.tdc_lzss_stream_parse(
+        data,
+        len(data),
+        r.pos,
+        r._valid,
+        n,
+        flen_min,
+        flen_max,
+        fdist_max,
+        use_huff,
+        fc,
+        psl,
+        syms,
+        longest,
+        out,
+        tgt,
+        srcs,
+        lens,
+        cursor_out,
+    )
+    if nf < 0:
+        raise ValueError("malformed lzss factor stream")
+    r._pos = r._valid  # stream fully consumed
+    return out[:n], int(cursor_out[0]), tgt[:nf], srcs[:nf], lens[:nf]
+
+
 def decode_text(dec) -> np.ndarray:
     """lzss::decode_text with DecodeBackBuffer (LZSSCoding.hpp:94-140)."""
     n = dec.decode(len_r)
@@ -139,6 +193,14 @@ def decode_text(dec) -> np.ndarray:
     flen_r = MinDistributedRange(flen_min, flen_max)
     fdist_max = dec.decode(text_r)
     fdist_r = Range(fdist_max)
+
+    parsed = native_stream_parse(dec, n, flen_min, flen_max, fdist_max)
+    if parsed is not None:
+        from .. import native
+
+        out, cursor, tgt, srcs, lens = parsed
+        native.get_lib().tdc_lzss_apply_factors(out, tgt, srcs, lens, len(tgt))
+        return out[:cursor]
 
     out = np.zeros(n, dtype=np.uint8)
     cursor = 0

@@ -145,6 +145,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u32p,
         u32p,
     ]
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.tdc_lzss_stream_parse.restype = i64
+    lib.tdc_lzss_stream_parse.argtypes = [
+        u8p,  # data
+        i64,  # nbytes
+        i64,  # start_bit
+        i64,  # valid_bits
+        i64,  # n
+        i64,  # flen_min
+        i64,  # flen_max
+        i64,  # fdist_max
+        ctypes.c_int32,  # use_huff
+        u64p,  # firstcodes
+        i64p,  # psl
+        u8p,  # ordered_syms
+        ctypes.c_int32,  # longest
+        u8p,  # out
+        u32p,  # tgt
+        u32p,  # srcs
+        u32p,  # lens
+        i64p,  # cursor_out
+    ]
+    lib.tdc_lzss_apply_factors.restype = None
+    lib.tdc_lzss_apply_factors.argtypes = [u8p, u32p, u32p, u32p, i64]
     lib.tdc_lcpcomp_maxlcp_factorize.restype = i64
     lib.tdc_lcpcomp_maxlcp_factorize.argtypes = [
         i32p,
