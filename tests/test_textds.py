@@ -130,3 +130,20 @@ def test_sa_jax_matches():
         arr = np.frombuffer(text, np.uint8)
         got = np.asarray(suffix_array_jax(jnp.asarray(arr)))
         assert (got == naive_suffix_array(text)).all(), text[:40]
+
+
+def test_device_sa_flag(monkeypatch):
+    """TDC_DEVICE_SA=1 routes SA construction through the JAX
+    prefix-doubling path; result must equal the native SA-IS."""
+    import numpy as np
+
+    from tudocomp_tpu.ds.textds import TextDS
+
+    rng = np.random.default_rng(11)
+    text = np.concatenate(
+        [rng.integers(97, 105, 500).astype(np.uint8), [0]]
+    ).astype(np.uint8)
+    base = TextDS(text).require_sa()
+    monkeypatch.setenv("TDC_DEVICE_SA", "1")
+    dev = TextDS(text).require_sa()
+    assert (base == dev).all()

@@ -14,6 +14,7 @@ sentinel, as guaranteed by Meta.uses_textds input restrictions.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -61,7 +62,16 @@ class TextDS:
             with StatPhase("Construct SA") as ph:
                 lib = native.get_lib()
                 n = len(self.text)
-                if lib is not None and hasattr(lib, "tdc_sais") and n:
+                if os.environ.get("TDC_DEVICE_SA") == "1" and n:
+                    # device prefix-doubling SA (radix two-key sorts under
+                    # a while_loop); the host SA-IS stays the default —
+                    # flip with TDC_DEVICE_SA=1
+                    from .suffix_array import suffix_array_jax
+
+                    self._sa = np.asarray(suffix_array_jax(self.text)).astype(
+                        np.int32
+                    )
+                elif lib is not None and hasattr(lib, "tdc_sais") and n:
                     sa = np.empty(n, dtype=np.int32)
                     rc = lib.tdc_sais(self.text, n, sa)
                     assert rc == 0, "native SA-IS failed"
