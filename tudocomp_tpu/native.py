@@ -8,6 +8,7 @@ framework degrades gracefully if no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -15,19 +16,26 @@ from typing import Optional
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libtdc_native.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "tdc_native.cpp")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    # Key the artifact on the source hash: git checkouts reset mtimes, so an
+    # mtime comparison against a stale committed .so silently loads old code.
+    with open(_SRC_PATH, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_NATIVE_DIR, f"libtdc_native-{digest}.so")
+
+
+def _build(so_path: str) -> bool:
     try:
         r = subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO_PATH, _SRC_PATH],
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", so_path, _SRC_PATH],
             capture_output=True,
-            timeout=120,
+            timeout=240,
         )
         return r.returncode == 0
     except Exception:
@@ -39,13 +47,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(
-        _SRC_PATH
-    ):
-        if not _build():
+    so_path = _so_path()
+    if not os.path.exists(so_path):
+        if not _build(so_path):
             return None
     try:
-        lib = ctypes.CDLL(_SO_PATH)
+        lib = ctypes.CDLL(so_path)
     except OSError:
         return None
 
