@@ -177,6 +177,9 @@ struct PointerTrie {
         return (uint32_t)(first_child.size() - 1);
     }
 
+    void restart() {}
+    void restart_root(uint8_t) {}
+
     // returns existing child id, or UNDEF after inserting a new leaf
     uint32_t find_or_insert(uint32_t parent, uint8_t c) {
         uint32_t node = first_child[parent];
@@ -233,26 +236,418 @@ struct PointerTrie {
     }
 };
 
-int64_t tdc_lz78_parse_trie(const uint8_t* data, int64_t n, uint32_t* parents,
-                            uint8_t* chars, int32_t kind) {
-    PointerTrie trie(kind, (size_t)n, 1);
-    // trie node ids are allocation-ordered; factor ids are creation-ordered
-    // and coincide (roots excluded): node id = factor id + 1
+// Double-array trie (capability mirror of lz78/CedarTrie.hpp over cedar.hpp,
+// re-designed from scratch): transitions live in base[]/check[] slot arrays;
+// child slot of handle s under char c is base[s] + c + 1. On slot conflict
+// the parent's child block is relocated to a fresh base. Factor ids are
+// creation-ordered and mapped to slots via id<->handle tables so the emitted
+// factors are identical to every other trie.
+struct DoubleArrayTrie {
+    static constexpr uint32_t UNDEF = UINT32_MAX;
+    std::vector<int32_t> base_;                // per slot: child block base
+    std::vector<int32_t> check_;               // per slot: owner handle or -1
+    std::vector<uint32_t> id_;                 // per slot: factor id
+    std::vector<std::vector<uint8_t>> kids_;   // per slot: child chars
+    std::vector<uint32_t> handle_of_;          // factor id -> slot
+    std::vector<int64_t> nxt_, prv_;           // free-slot list links
+    int64_t free_head_ = -1, free_tail_ = -1;
+    int64_t top_ = 0;  // highest claimed slot (tail-placement fallback)
+    uint32_t next_id_;
+
+    DoubleArrayTrie(size_t /*reserve*/, size_t roots) {
+        ensure(1023);
+        claim(0, 0, 0);  // slot 0 = super-root (also the lz78 root, id 0)
+        if (roots == 1) {
+            handle_of_.assign(1, 0);
+            next_id_ = 1;
+        } else {  // lzw: roots 0..255 as children of the super-root
+            base_[0] = 0;
+            kids_[0].reserve(roots);
+            for (uint32_t c = 0; c < roots; ++c) {
+                int64_t t = c + 1;  // base 0 + c + 1
+                claim(t, 0, c);
+                kids_[0].push_back((uint8_t)c);
+                handle_of_.push_back((uint32_t)t);
+            }
+            next_id_ = (uint32_t)roots;
+        }
+    }
+
+    void restart() {}
+    void restart_root(uint8_t) {}
+
+    // free-slot doubly-linked list: O(1) base search instead of the
+    // linear empty-slot scan (the same idea as cedar's block free lists)
+    void link_tail(int64_t t) {
+        nxt_[t] = -1;
+        prv_[t] = free_tail_;
+        if (free_tail_ != -1)
+            nxt_[free_tail_] = t;
+        else
+            free_head_ = t;
+        free_tail_ = t;
+    }
+    void link_head(int64_t t) {
+        prv_[t] = -1;
+        nxt_[t] = free_head_;
+        if (free_head_ != -1)
+            prv_[free_head_] = t;
+        else
+            free_tail_ = t;
+        free_head_ = t;
+    }
+    void unlink(int64_t t) {
+        if (prv_[t] != -1)
+            nxt_[prv_[t]] = nxt_[t];
+        else
+            free_head_ = nxt_[t];
+        if (nxt_[t] != -1)
+            prv_[nxt_[t]] = prv_[t];
+        else
+            free_tail_ = prv_[t];
+    }
+    void claim(int64_t t, int32_t owner, uint32_t id) {
+        unlink(t);
+        check_[t] = owner;
+        id_[t] = id;
+        top_ = std::max(top_, t);
+    }
+    void release(int64_t t) {
+        check_[t] = -1;
+        link_head(t);
+    }
+
+    void ensure(int64_t slot) {
+        if (slot < (int64_t)check_.size()) return;
+        size_t old = check_.size();
+        size_t cap = std::max<size_t>(old, 1024);
+        while ((int64_t)cap <= slot) cap <<= 1;
+        base_.resize(cap, 0);
+        check_.resize(cap, -1);
+        id_.resize(cap, 0);
+        kids_.resize(cap);
+        nxt_.resize(cap, -1);
+        prv_.resize(cap, -1);
+        for (size_t i = old; i < cap; ++i) link_tail((int64_t)i);
+    }
+
+    // lowest-listed base b such that every slot b+c+1 (c in cs, plus
+    // extra if >= 0) is free. cs by value: ensure() resizes kids_, which
+    // would invalidate a reference into it.
+    int64_t find_base(std::vector<uint8_t> cs, int extra) {
+        uint8_t lo = extra >= 0 ? (uint8_t)extra : cs[0];
+        for (uint8_t c : cs) lo = std::min(lo, c);
+        size_t total = cs.size() + (extra >= 0 ? 1 : 0);
+        int probes = 0;
+        for (int64_t f = free_head_;;) {
+            if (f == -1 || (total > 1 && ++probes > 64)) {
+                // free list exhausted, or a multi-char block keeps missing
+                // in the dense region: place it past the highest claimed
+                // slot, where everything is free (space-for-time)
+                int64_t b = top_ - lo;
+                ensure(b + 257);
+                return b;
+            }
+            int64_t b = f - lo - 1;
+            if (b >= 0) {
+                bool ok = true;
+                for (size_t j = 0; ok && j < total; ++j) {
+                    uint8_t c = (j == cs.size()) ? (uint8_t)extra : cs[j];
+                    int64_t t = b + c + 1;
+                    ensure(t);
+                    if (check_[t] != -1) ok = false;
+                }
+                if (ok) return b;
+            }
+            f = nxt_[f];
+        }
+    }
+
+    // move s's child block to base nb (s's own slot stays put)
+    void move_block(uint32_t s, int64_t nb) {
+        for (uint8_t ch : kids_[s]) {
+            int64_t ot = (int64_t)base_[s] + ch + 1;
+            int64_t nt = nb + ch + 1;
+            claim(nt, (int32_t)s, id_[ot]);
+            base_[nt] = base_[ot];
+            kids_[nt] = std::move(kids_[ot]);
+            kids_[ot].clear();
+            handle_of_[id_[ot]] = (uint32_t)nt;
+            for (uint8_t g : kids_[nt])  // grandchildren re-own
+                check_[(int64_t)base_[nt] + g + 1] = (int32_t)nt;
+            release(ot);
+        }
+        base_[s] = (int32_t)nb;
+    }
+
+    uint32_t find_or_insert(uint32_t parent_id, uint8_t c) {
+        uint32_t s = handle_of_[parent_id];
+        if (!kids_[s].empty()) {
+            int64_t t = (int64_t)base_[s] + c + 1;
+            ensure(t);
+            if (check_[t] == (int32_t)s) return id_[t];
+            if (check_[t] != -1) {
+                // conflict: relocate the cheaper block — the conflicting
+                // slot's owner o if it has fewer children than s (cedar's
+                // standard trick), else s itself
+                uint32_t o = (uint32_t)check_[t];
+                if (kids_[o].size() < kids_[s].size() + 1) {
+                    move_block(o, find_base(kids_[o], -1));
+                    // o's block may have contained s: re-read the handle
+                    s = handle_of_[parent_id];
+                } else {
+                    move_block(s, find_base(kids_[s], (int)c));
+                }
+            }
+        } else {
+            base_[s] = (int32_t)find_base({}, (int)c);
+        }
+        int64_t t = (int64_t)base_[s] + c + 1;
+        claim(t, (int32_t)s, next_id_);
+        kids_[s].push_back(c);
+        handle_of_.push_back((uint32_t)t);
+        ++next_id_;
+        return UNDEF;
+    }
+};
+
+
+// Separate-chaining hash trie (capability mirror of lz78/ExtHashTrie.hpp,
+// which wraps std::unordered_map over squeezed (parent,char) keys): bucket
+// head array + entry pool with chain links, rehashing at load factor 1.
+struct ChainedHashTrie {
+    static constexpr uint32_t UNDEF = UINT32_MAX;
+    struct Entry {
+        uint64_t key;
+        uint32_t val;
+        uint32_t next;  // 1-based pool index, 0 = end
+    };
+    std::vector<uint32_t> heads_;
+    std::vector<Entry> pool_;
+    uint64_t mask_;
+    uint32_t next_id_;
+
+    ChainedHashTrie(size_t expected, size_t roots) : next_id_((uint32_t)roots) {
+        size_t cap = 16;
+        while (cap < expected) cap <<= 1;
+        heads_.assign(cap, 0);
+        mask_ = cap - 1;
+        pool_.reserve(expected);
+    }
+
+    void restart() {}
+    void restart_root(uint8_t) {}
+
+    static inline uint64_t mix(uint64_t x) {
+        x += 0x9e3779b97f4a7c15ULL;
+        x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+        x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+        return x ^ (x >> 31);
+    }
+
+    void grow() {
+        size_t cap = (mask_ + 1) << 1;
+        heads_.assign(cap, 0);
+        mask_ = cap - 1;
+        for (uint32_t i = 0; i < pool_.size(); ++i) {
+            uint64_t b = mix(pool_[i].key) & mask_;
+            pool_[i].next = heads_[b];
+            heads_[b] = i + 1;
+        }
+    }
+
+    uint32_t find_or_insert(uint32_t node, uint8_t c) {
+        uint64_t key = ((uint64_t)node << 8) | c;
+        uint64_t b = mix(key) & mask_;
+        for (uint32_t e = heads_[b]; e; e = pool_[e - 1].next)
+            if (pool_[e - 1].key == key) return pool_[e - 1].val;
+        pool_.push_back({key, next_id_++, heads_[b]});
+        heads_[b] = (uint32_t)pool_.size();
+        if (pool_.size() > heads_.size()) grow();
+        return UNDEF;
+    }
+};
+
+// Rolling-fingerprint trie (capability mirror of lz78/RollingTrie.hpp):
+// a node is identified by the 64-bit rolling fingerprint of its path, so
+// the table stores fingerprint -> id instead of (parent,char) -> id and no
+// parent id enters the key. The fingerprint rolls forward on every walked
+// char and resets when a factor is emitted (m_roller.clear() semantics).
+struct RollingFpTrie {
+    static constexpr uint32_t UNDEF = UINT32_MAX;
+    static constexpr uint64_t FNV = 0xcbf29ce484222325ULL;
+    static constexpr uint64_t P = 0x100000001b3ULL;
+    std::vector<uint64_t> keys_;  // fingerprint + 1 (0 = empty)
+    std::vector<uint32_t> vals_;
+    uint64_t mask_;
+    size_t size_ = 0;
+    uint64_t roller_ = FNV;
+    uint32_t next_id_;
+
+    RollingFpTrie(size_t expected, size_t roots) : next_id_((uint32_t)roots) {
+        size_t cap = 16;
+        while (cap < expected * 2) cap <<= 1;
+        keys_.assign(cap, 0);
+        vals_.assign(cap, 0);
+        mask_ = cap - 1;
+    }
+
+    void restart() { roller_ = FNV; }
+    void restart_root(uint8_t c) {
+        restart();
+        roll(c);
+    }
+    void roll(uint8_t c) { roller_ = (roller_ ^ (c + 1)) * P; }
+
+    static inline uint64_t mix(uint64_t x) {
+        x += 0x9e3779b97f4a7c15ULL;
+        x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+        x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+        return x ^ (x >> 31);
+    }
+
+    void grow() {
+        std::vector<uint64_t> ok = std::move(keys_);
+        std::vector<uint32_t> ov = std::move(vals_);
+        size_t cap = (mask_ + 1) << 1;
+        keys_.assign(cap, 0);
+        vals_.assign(cap, 0);
+        mask_ = cap - 1;
+        for (size_t i = 0; i < ok.size(); ++i)
+            if (ok[i]) {
+                uint64_t slot = mix(ok[i] - 1) & mask_;
+                while (keys_[slot]) slot = (slot + 1) & mask_;
+                keys_[slot] = ok[i];
+                vals_[slot] = ov[i];
+            }
+    }
+
+    uint32_t find_or_insert(uint32_t /*node*/, uint8_t c) {
+        roll(c);
+        uint64_t k1 = roller_ + 1;
+        uint64_t slot = mix(roller_) & mask_;
+        while (true) {
+            if (!keys_[slot]) {
+                keys_[slot] = k1;
+                vals_[slot] = next_id_++;
+                if (++size_ * 2 > mask_) grow();
+                restart();
+                return UNDEF;
+            }
+            if (keys_[slot] == k1) return vals_[slot];
+            slot = (slot + 1) & mask_;
+        }
+    }
+};
+
+// Sparse-group table trie (capability mirror of
+// lz78/CompactSparseHashTrie.hpp over util/compact_sparse_hash.hpp): slots
+// are grouped 64 to a bucket with an occupancy bitmap; a group stores only
+// its live entries, packed in slot-rank order, so empty capacity costs one
+// bit per slot instead of a full entry. Linear probing over the virtual
+// slot space; bitmap rank (popcount) locates the packed entry.
+struct SparseGroupTrie {
+    static constexpr uint32_t UNDEF = UINT32_MAX;
+    struct Group {
+        uint64_t bitmap = 0;
+        std::vector<uint64_t> keys;
+        std::vector<uint32_t> vals;
+    };
+    std::vector<Group> groups_;
+    uint64_t slot_mask_;
+    size_t size_ = 0;
+    uint32_t next_id_;
+
+    SparseGroupTrie(size_t expected, size_t roots) : next_id_((uint32_t)roots) {
+        size_t cap = 64;
+        while (cap * 3 < expected * 4) cap <<= 1;  // initial load <= 0.75
+        groups_.resize(cap >> 6);
+        slot_mask_ = cap - 1;
+    }
+
+    void restart() {}
+    void restart_root(uint8_t) {}
+
+    static inline uint64_t mix(uint64_t x) {
+        x += 0x9e3779b97f4a7c15ULL;
+        x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+        x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+        return x ^ (x >> 31);
+    }
+
+    bool insert_only(uint64_t key, uint32_t val) {
+        for (uint64_t slot = mix(key) & slot_mask_;;
+             slot = (slot + 1) & slot_mask_) {
+            Group& g = groups_[slot >> 6];
+            uint64_t bit = 1ULL << (slot & 63);
+            size_t rank = (size_t)__builtin_popcountll(g.bitmap & (bit - 1));
+            if (!(g.bitmap & bit)) {
+                g.keys.insert(g.keys.begin() + rank, key);
+                g.vals.insert(g.vals.begin() + rank, val);
+                g.bitmap |= bit;
+                return true;
+            }
+            if (g.keys[rank] == key) return false;
+        }
+    }
+
+    void grow() {
+        std::vector<Group> old = std::move(groups_);
+        size_t cap = (slot_mask_ + 1) << 1;
+        groups_.clear();
+        groups_.resize(cap >> 6);
+        slot_mask_ = cap - 1;
+        for (Group& g : old)
+            for (size_t j = 0; j < g.keys.size(); ++j)
+                insert_only(g.keys[j], g.vals[j]);
+    }
+
+    uint32_t find_or_insert(uint32_t node, uint8_t c) {
+        uint64_t key = ((uint64_t)node << 8) | c;
+        for (uint64_t slot = mix(key) & slot_mask_;;
+             slot = (slot + 1) & slot_mask_) {
+            Group& g = groups_[slot >> 6];
+            uint64_t bit = 1ULL << (slot & 63);
+            size_t rank = (size_t)__builtin_popcountll(g.bitmap & (bit - 1));
+            if (!(g.bitmap & bit)) {
+                g.keys.insert(g.keys.begin() + rank, key);
+                g.vals.insert(g.vals.begin() + rank, next_id_++);
+                g.bitmap |= bit;
+                if (++size_ * 4 > (slot_mask_ + 1) * 3) grow();
+                return UNDEF;
+            }
+            if (g.keys[rank] == key) return vals_at(g, rank);
+        }
+    }
+    static uint32_t vals_at(Group& g, size_t rank) { return g.vals[rank]; }
+};
+
+}  // extern "C" (templates below need C++ linkage)
+
+// The parse loops, shared by every trie backend. Factor ids are
+// creation-ordered in every trie, so the emitted factors are identical
+// across backends (the reference documents and tests the same property,
+// test/lz78_trie_tests.cpp).
+template <class Trie>
+static int64_t lz78_parse_t(const uint8_t* data, int64_t n, uint32_t* parents,
+                            uint8_t* chars, Trie& trie) {
     std::vector<uint32_t> node_parent(1, 0);
     std::vector<uint8_t> node_char(1, 0);
     int64_t nf = 0;
     uint32_t node = 0;
     int64_t i = 0;
+    trie.restart();
     while (i < n) {
         uint8_t c = data[i++];
         uint32_t found = trie.find_or_insert(node, c);
-        if (found == PointerTrie::UNDEF) {
+        if (found == Trie::UNDEF) {
             parents[nf] = node;
             chars[nf] = c;
             ++nf;
             node_parent.push_back(node);
             node_char.push_back(c);
             node = 0;
+            trie.restart();
         } else {
             node = found;
         }
@@ -265,25 +660,84 @@ int64_t tdc_lz78_parse_trie(const uint8_t* data, int64_t n, uint32_t* parents,
     return nf;
 }
 
-int64_t tdc_lzw_parse_trie(const uint8_t* data, int64_t n, uint32_t* codes,
-                           int32_t kind) {
-    if (n == 0) return 0;
-    PointerTrie trie(kind, (size_t)n, 256);
+template <class Trie>
+static int64_t lzw_parse_t(const uint8_t* data, int64_t n, uint32_t* codes,
+                           Trie& trie) {
     int64_t nf = 0;
     int64_t i = 0;
     uint32_t node = data[i++];
+    trie.restart_root((uint8_t)node);
     while (i < n) {
         uint8_t c = data[i++];
         uint32_t found = trie.find_or_insert(node, c);
-        if (found == PointerTrie::UNDEF) {
+        if (found == Trie::UNDEF) {
             codes[nf++] = node;
             node = c;
+            trie.restart_root(c);
         } else {
             node = found;
         }
     }
     codes[nf++] = node;
     return nf;
+}
+
+extern "C" {
+
+int64_t tdc_lzw_parse(const uint8_t* data, int64_t n, uint32_t* codes);
+
+// kind: 1 binary, 2 binarysorted, 3 ternary (PointerTrie); 4 cedar
+// (double-array); 5 exthash (chained); 6 rolling (fingerprint);
+// 7 compact_sparse_hash (sparse groups). Any other kind = hash trie.
+int64_t tdc_lz78_parse_trie(const uint8_t* data, int64_t n, uint32_t* parents,
+                            uint8_t* chars, int32_t kind) {
+    if (kind >= 1 && kind <= 3) {
+        PointerTrie trie(kind, (size_t)n, 1);
+        return lz78_parse_t(data, n, parents, chars, trie);
+    }
+    if (kind == 4) {
+        DoubleArrayTrie trie((size_t)n, 1);
+        return lz78_parse_t(data, n, parents, chars, trie);
+    }
+    if (kind == 5) {
+        ChainedHashTrie trie((size_t)n, 1);
+        return lz78_parse_t(data, n, parents, chars, trie);
+    }
+    if (kind == 6) {
+        RollingFpTrie trie((size_t)n, 1);
+        return lz78_parse_t(data, n, parents, chars, trie);
+    }
+    if (kind == 7) {
+        SparseGroupTrie trie((size_t)n, 1);
+        return lz78_parse_t(data, n, parents, chars, trie);
+    }
+    return tdc_lz78_parse(data, n, parents, chars);
+}
+
+int64_t tdc_lzw_parse_trie(const uint8_t* data, int64_t n, uint32_t* codes,
+                           int32_t kind) {
+    if (n == 0) return 0;
+    if (kind >= 1 && kind <= 3) {
+        PointerTrie trie(kind, (size_t)n, 256);
+        return lzw_parse_t(data, n, codes, trie);
+    }
+    if (kind == 4) {
+        DoubleArrayTrie trie((size_t)n, 256);
+        return lzw_parse_t(data, n, codes, trie);
+    }
+    if (kind == 5) {
+        ChainedHashTrie trie((size_t)n, 256);
+        return lzw_parse_t(data, n, codes, trie);
+    }
+    if (kind == 6) {
+        RollingFpTrie trie((size_t)n, 256);
+        return lzw_parse_t(data, n, codes, trie);
+    }
+    if (kind == 7) {
+        SparseGroupTrie trie((size_t)n, 256);
+        return lzw_parse_t(data, n, codes, trie);
+    }
+    return tdc_lzw_parse(data, n, codes);
 }
 
 int64_t tdc_lzw_parse(const uint8_t* data, int64_t n, uint32_t* codes) {

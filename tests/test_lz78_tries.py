@@ -13,6 +13,13 @@ from tudocomp_tpu.registry import REGISTRY
 
 ALL_TRIES = REGISTRY.names("lz78trie")
 POINTER_TRIES = ["binary", "binarysorted", "ternary"]
+NATIVE_TRIES = POINTER_TRIES + [
+    "cedar",  # double-array
+    "exthash",  # separate chaining
+    "rolling",  # fingerprint-keyed
+    "rolling_plus",
+    "compact_sparse_hash",  # sparse-group table
+]
 
 
 def test_axis_registered():
@@ -32,7 +39,7 @@ def test_axis_registered():
         assert t in ALL_TRIES, t
 
 
-@pytest.mark.parametrize("trie", POINTER_TRIES)
+@pytest.mark.parametrize("trie", NATIVE_TRIES)
 def test_factors_match_hash_trie(trie):
     # expected factor lists are trie-independent (lz78_trie_tests.cpp checks
     # per-trie structure; the contract here is identical find_or_insert
@@ -45,7 +52,7 @@ def test_factors_match_hash_trie(trie):
         assert (lzw_parse(a, trie) == lzw_parse(a, "hash")).all(), (trie, t[:30])
 
 
-@pytest.mark.parametrize("trie", POINTER_TRIES + ["hash", "cedar"])
+@pytest.mark.parametrize("trie", NATIVE_TRIES + ["hash"])
 def test_roundtrip_per_trie(trie):
     for t in CORPUS:
         roundtrip(f"lz78(coder=bit, lz78trie={trie})", t)

@@ -28,11 +28,22 @@ from ..stats.phase import StatPhase
 from .. import native
 
 
-# pointer-trie kinds in the native runtime (PointerTrie in tdc_native.cpp);
-# everything else on the axis (hash family, cedar, compact_sparse_hash, ...)
-# uses the open-addressing hash trie. Factor output is identical across
+# trie kinds in the native runtime (tdc_native.cpp): pointer tries (binary/
+# binarysorted/ternary), a double-array trie (cedar), a separate-chaining
+# hash (exthash), a rolling-fingerprint trie (rolling family) and a
+# sparse-group table (compact_sparse_hash). hash/hash_plus (kind 0) use the
+# open-addressing (parent,char)->id table. Factor output is identical across
 # tries — the axis is the reference's speed axis (lz78/LZ78Trie.hpp).
-TRIE_KINDS = {"binary": 1, "binarysorted": 2, "ternary": 3}
+TRIE_KINDS = {
+    "binary": 1,
+    "binarysorted": 2,
+    "ternary": 3,
+    "cedar": 4,
+    "exthash": 5,
+    "rolling": 6,
+    "rolling_plus": 6,
+    "compact_sparse_hash": 7,
+}
 
 
 def lz78_parse(data: np.ndarray, trie: str = "hash") -> tuple[np.ndarray, np.ndarray]:
