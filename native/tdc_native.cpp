@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -1750,6 +1751,139 @@ int32_t tdc_lcpcomp_compact_decode(uint8_t* buffer, int64_t n,
     }
     for (int64_t i = 0; i < n; ++i)
         if (!buffer[i] && i + 1 != n) return -1;  // undecodable position
+    return 0;
+}
+
+// Queue-list decoder (capability mirror of
+// lcpcomp/decompress/DecodeQueueListBuffer.hpp:12-86): replays the stream
+// in cursor order — literals resolve their own position, factor positions
+// copy immediately when the source is already decoded and otherwise queue
+// the target on the source's per-position forward list; resolving a
+// position propagates through its list (iteratively, not recursively).
+// buffer arrives with literals pre-placed (0 = undecoded factor target);
+// factors are in stream (target) order.
+int32_t tdc_lcpcomp_queuelist_decode(uint8_t* buffer, int64_t n,
+                                     const uint32_t* tgt, const uint32_t* src,
+                                     const uint32_t* len, int64_t nf) {
+    std::vector<uint8_t> decoded((size_t)n, 0);
+    for (int64_t j = 0; j < nf; ++j)  // factor spans start undecoded
+        for (uint32_t i = 0; i < len[j]; ++i) decoded[tgt[j] + i] = 2;
+    for (int64_t i = 0; i < n; ++i) decoded[i] = decoded[i] != 2;
+
+    std::vector<std::vector<uint32_t>> fwd((size_t)n);
+    std::vector<uint32_t> stack;
+    auto decode_literal_at = [&](uint32_t pos, uint8_t c) {
+        stack.clear();
+        stack.push_back(pos);
+        while (!stack.empty()) {
+            uint32_t p = stack.back();
+            stack.pop_back();
+            buffer[p] = c;
+            decoded[p] = 1;
+            if (!fwd[p].empty()) {
+                for (uint32_t q : fwd[p]) stack.push_back(q);
+                std::vector<uint32_t>().swap(fwd[p]);
+            }
+        }
+    };
+
+    int64_t cursor = 0, f = 0;
+    while (cursor < n) {
+        if (f < nf && cursor == (int64_t)tgt[f]) {
+            for (uint32_t i = 0; i < len[f]; ++i, ++cursor) {
+                const int64_t sp = (int64_t)src[f] + i;
+                if (decoded[sp])
+                    decode_literal_at((uint32_t)cursor, buffer[sp]);
+                else
+                    fwd[sp].push_back((uint32_t)cursor);
+            }
+            ++f;
+        } else {
+            decode_literal_at((uint32_t)cursor, buffer[cursor]);
+            ++cursor;
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (!decoded[i] && i + 1 != n) return -1;
+    return 0;
+}
+
+// Multimap decoder (capability mirror of
+// lcpcomp/decompress/MultiMapBuffer.hpp:12-160): stream replay copies
+// eagerly where possible and stores each factor's unresolved remainder
+// once; then `lazy` plain copy rounds over the stored factors; finally an
+// eager pass that queues still-unresolved positions in an
+// unordered_multimap<src, tgt> and propagates through it.
+int32_t tdc_lcpcomp_multimap_decode(uint8_t* buffer, int64_t n,
+                                    const uint32_t* tgt, const uint32_t* src,
+                                    const uint32_t* len, int64_t nf,
+                                    int64_t lazy) {
+    std::vector<uint8_t> decoded((size_t)n, 0);
+    for (int64_t j = 0; j < nf; ++j)
+        for (uint32_t i = 0; i < len[j]; ++i) decoded[tgt[j] + i] = 2;
+    for (int64_t i = 0; i < n; ++i) decoded[i] = decoded[i] != 2;
+
+    // stream replay (decode_factor): immediate copies + remainder store
+    std::vector<uint32_t> r_tgt, r_src, r_len;
+    for (int64_t j = 0; j < nf; ++j) {
+        bool stored = false;
+        for (uint32_t i = 0; i < len[j]; ++i) {
+            const int64_t sp = (int64_t)src[j] + i;
+            const uint32_t tp = tgt[j] + i;
+            if (decoded[sp]) {
+                buffer[tp] = buffer[sp];
+                decoded[tp] = 1;
+            } else if (!stored) {
+                stored = true;
+                r_tgt.push_back(tp);
+                r_src.push_back((uint32_t)sp);
+                r_len.push_back(len[j] - i);
+            }
+        }
+    }
+    // lazy rounds (decode_lazy_): plain copies, no propagation
+    for (int64_t round = 0; round < lazy; ++round) {
+        for (size_t j = 0; j < r_tgt.size(); ++j) {
+            for (uint32_t i = 0; i < r_len[j]; ++i) {
+                const int64_t sp = (int64_t)r_src[j] + i;
+                if (decoded[sp]) {
+                    buffer[r_tgt[j] + i] = buffer[sp];
+                    decoded[r_tgt[j] + i] = 1;
+                }
+            }
+        }
+    }
+    // eager pass (decode_eagerly) with multimap propagation
+    std::unordered_multimap<uint32_t, uint32_t> fwd;
+    fwd.max_load_factor(0.8f);
+    std::vector<uint32_t> stack;
+    auto decode_literal_at = [&](uint32_t pos, uint8_t c) {
+        stack.clear();
+        stack.push_back(pos);
+        while (!stack.empty()) {
+            uint32_t p = stack.back();
+            stack.pop_back();
+            buffer[p] = c;
+            decoded[p] = 1;
+            auto range = fwd.equal_range(p);
+            for (auto it = range.first; it != range.second; ++it)
+                stack.push_back(it->second);
+            fwd.erase(range.first, range.second);
+        }
+    };
+    for (size_t j = 0; j < r_tgt.size(); ++j) {
+        for (uint32_t i = 0; i < r_len[j]; ++i) {
+            const int64_t sp = (int64_t)r_src[j] + i;
+            const uint32_t tp = r_tgt[j] + i;
+            if (decoded[tp]) continue;  // resolved by a lazy round
+            if (decoded[sp])
+                decode_literal_at(tp, buffer[sp]);
+            else
+                fwd.emplace((uint32_t)sp, tp);
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (!decoded[i] && i + 1 != n) return -1;
     return 0;
 }
 

@@ -67,7 +67,8 @@ def test_strategy_cross_impl():
 
 @pytest.mark.parametrize(
     "opts",
-    ["flatten=0", "threshold=3", "threshold=22", "dec=scan(scans=0)", "dec=scan(scans=2)"],
+    ["flatten=0", "threshold=3", "threshold=22", "dec=scan(scans=0)", "dec=scan(scans=2)",
+     "dec=MultimapListBuffer(lazy=1)", "dec=MultimapListBuffer(lazy=3)"],
 )
 def test_options(opts):
     data = b"how much wood would a woodchuck chuck if a woodchuck could chuck wood " * 10

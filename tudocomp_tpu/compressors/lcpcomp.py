@@ -294,12 +294,17 @@ COMP_STRATEGIES = [
 DEC_STRATEGIES = [
     _make_axis("lcpcomp_dec", "scan", "Lazy scans + eager decoding", (("scans", 6),)),
     _make_axis("lcpcomp_dec", "compact", "Eager forward-bucket decoding"),
-    # QueueListBuffer / MultimapListBuffer (DecodeQueueListBuffer.hpp:15,
-    # MultiMapBuffer.hpp:15) are eager forward-resolution variants that
-    # differ only in the C++ container; they route to the compact decoder
-    # (identical output, container choice is a host-memory axis).
-    _make_axis("lcpcomp_dec", "QueueListBuffer", "Eager queue-list decoding"),
-    _make_axis("lcpcomp_dec", "MultimapListBuffer", "Eager multimap decoding"),
+    # QueueListBuffer (DecodeQueueListBuffer.hpp:12-86): stream replay with
+    # per-position forward lists. MultimapListBuffer (MultiMapBuffer.hpp:
+    # 12-160): eager copies + stored remainders, `lazy` copy rounds, then a
+    # multimap-propagated eager pass. Both native; identical output.
+    _make_axis("lcpcomp_dec", "QueueListBuffer", "Stream-replay queue-list decoding"),
+    _make_axis(
+        "lcpcomp_dec",
+        "MultimapListBuffer",
+        "Lazy-rounds + multimap decoding",
+        (("lazy", 0),),
+    ),
 ]
 
 
@@ -413,7 +418,20 @@ class LCPCompressor(Compressor):
                     assert rc == 0, "undecodable lcpcomp stream"
                 else:
                     self._python_scan_decode(buffer, tgt, srcs, lens, scans)
-            else:  # compact / QueueListBuffer / MultimapListBuffer: eager
+            elif dec_name == "QueueListBuffer" and lib is not None:
+                rc = lib.tdc_lcpcomp_queuelist_decode(
+                    buffer, n, tgt, srcs, lens, len(tgt)
+                )
+                assert rc == 0, "undecodable lcpcomp stream"
+            elif dec_name == "MultimapListBuffer" and lib is not None:
+                lazy = int(
+                    self.env.env_for_option("dec").option("lazy").as_integer()
+                )
+                rc = lib.tdc_lcpcomp_multimap_decode(
+                    buffer, n, tgt, srcs, lens, len(tgt), lazy
+                )
+                assert rc == 0, "undecodable lcpcomp stream"
+            else:  # compact (and python fallback for the eager variants)
                 if lib is not None:
                     rc = lib.tdc_lcpcomp_compact_decode(
                         buffer, n, tgt, srcs, lens, len(tgt)

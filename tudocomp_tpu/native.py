@@ -200,6 +200,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.tdc_lcpcomp_compact_decode.restype = ctypes.c_int32
     lib.tdc_lcpcomp_compact_decode.argtypes = [u8p, i64, u32p, u32p, u32p, i64]
+    lib.tdc_lcpcomp_queuelist_decode.restype = ctypes.c_int32
+    lib.tdc_lcpcomp_queuelist_decode.argtypes = [u8p, i64, u32p, u32p, u32p, i64]
+    lib.tdc_lcpcomp_multimap_decode.restype = ctypes.c_int32
+    lib.tdc_lcpcomp_multimap_decode.argtypes = [u8p, i64, u32p, u32p, u32p, i64, i64]
     lib.tdc_lcpcomp_flatten.restype = None
     lib.tdc_lcpcomp_flatten.argtypes = [u32p, u32p, u32p, i64]
     lib.tdc_lcpcomp_scan_decode.restype = ctypes.c_int32
