@@ -195,6 +195,173 @@ def st_compute_rules(text: np.ndarray, sa, lcp, min_lrf: int = MIN_LRF):
     return dictionary, nts
 
 
+def _st_children(st):
+    """Per-internal-node (internal children, sorted leaf suffixes)."""
+    ni = st.num_internal
+    kids: list[list[int]] = [[] for _ in range(ni)]
+    for v in range(1, ni):
+        kids[int(st.parent[v])].append(v)
+    leaves: list[list[int]] = [[] for _ in range(ni)]
+    for rank in range(st.n):
+        leaves[int(st.leaf_parent[rank])].append(int(st.sa[rank]))
+    return kids, leaves
+
+
+def bst_compute_rules(text: np.ndarray, sa, lcp, min_lrf: int = MIN_LRF):
+    """BSTStrategy::compute_rules (lfs/BSTStrategy.hpp:135-290): nodes in
+    string-depth bins, deepest first; per-node position lists merged from
+    the children's remaining lists (children erased after the merge, dead
+    leaves dropped at collect time); greedy non-overlapping selection keeps
+    the not-selected live positions for the parent. No min_shorter re-add
+    (that rule is st/sim_st-only)."""
+    from ..ds.suffix_tree import SuffixTree
+
+    n = len(text)
+    st = SuffixTree(sa, lcp)
+    kids, leaves = _st_children(st)
+
+    bins: dict[int, list[int]] = {}
+    preorder = np.argsort(st.sdepth, kind="stable")  # shallow->deep; stable
+    max_depth = 0
+    for v in preorder:
+        d = int(st.sdepth[v])
+        if d > 0:
+            bins.setdefault(d, []).append(int(v))
+            max_depth = max(max_depth, d)
+
+    dead = np.zeros(n, dtype=bool)
+    node_begins: dict[int, list[int]] = {}
+    dictionary: list[tuple[int, int]] = []
+    nts: list[tuple[int, int, int]] = []
+
+    def gather(v: int) -> list[int]:
+        pos = node_begins.get(v)
+        if pos is not None:
+            return pos
+        import heapq
+
+        runs = []
+        for ch in kids[v]:
+            child_bp = node_begins.pop(ch, None)
+            if child_bp:
+                runs.append(child_bp)
+        leaf_bps = sorted(p for p in leaves[v] if not dead[p])
+        if leaf_bps:
+            runs.append(leaf_bps)
+        pos = list(heapq.merge(*runs)) if runs else []
+        node_begins[v] = pos
+        return pos
+
+    for i in range(max_depth, min_lrf - 1, -1):
+        for v in bins.get(i, ()):  # leaves of depth i never enter bins
+            pos = gather(v)
+            if len(pos) < 2 or pos[-1] - pos[0] < i:
+                continue
+            if dead[pos[-1]] or dead[pos[0]]:
+                continue
+            selected: list[int] = []
+            not_selected: list[int] = []
+            last = -i - 1
+            for cur in pos:
+                if last + i <= cur and not dead[cur] and not dead[cur + i - 1]:
+                    selected.append(cur)
+                    last = cur
+                elif not dead[cur]:
+                    not_selected.append(cur)
+            if len(selected) < 2:
+                continue
+            node_begins[v] = not_selected
+            dictionary.append((selected[0], i))
+            sym = len(dictionary) - 1
+            for s in selected:
+                nts.append((s, sym, i))
+                dead[s : s + i] = True
+    nts.sort()
+    return dictionary, nts
+
+
+def simst_compute_rules(text: np.ndarray, sa, lcp, min_lrf: int = MIN_LRF):
+    """SimSTStrategy::compute_rules (lfs/SimSTStrategy.hpp:125-280):
+    like bst, per-node lists merged from the children's remainders — but
+    with the st-style min_shorter re-add (a node whose occurrences are cut
+    short by dead positions re-enters the bin of the longest still-live
+    prefix), and the not-selected retention keeps dead positions."""
+    from ..ds.suffix_tree import SuffixTree
+
+    n = len(text)
+    st = SuffixTree(sa, lcp)
+    kids, leaves = _st_children(st)
+
+    bins: dict[int, list[int]] = {}
+    preorder = np.argsort(st.sdepth, kind="stable")
+    max_depth = 0
+    for v in preorder:
+        d = int(st.sdepth[v])
+        if d > 0:
+            bins.setdefault(d, []).append(int(v))
+            max_depth = max(max_depth, d)
+
+    dead = np.zeros(n, dtype=bool)
+    node_begins: dict[int, list[int]] = {}
+    dictionary: list[tuple[int, int]] = []
+    nts: list[tuple[int, int, int]] = []
+
+    def gather(v: int) -> list[int]:
+        pos = node_begins.get(v)
+        if pos is not None:
+            return pos
+        import heapq
+
+        runs = []
+        for ch in kids[v]:
+            child_bp = node_begins.pop(ch, None)
+            if child_bp:
+                runs.append(child_bp)
+        leaf_bps = sorted(p for p in leaves[v] if not dead[p])
+        if leaf_bps:
+            runs.append(leaf_bps)
+        pos = list(heapq.merge(*runs)) if runs else []
+        node_begins[v] = pos
+        return pos
+
+    for i in range(max_depth, min_lrf - 1, -1):
+        queue = bins.get(i)
+        if not queue:
+            continue
+        for v in queue:  # queue may grow via the re-add rule
+            pos = gather(v)
+            if not pos:
+                continue
+            if len(pos) >= 2 and pos[-1] - pos[0] < i:
+                continue
+            selected: list[int] = []
+            not_selected: list[int] = []
+            last = -i - 1
+            min_shorter = 1
+            for cur in pos:
+                if last + i <= cur and not dead[cur] and not dead[cur + i - 1]:
+                    selected.append(cur)
+                    last = cur
+                else:
+                    not_selected.append(cur)
+                if cur < n and not dead[cur] and dead[cur + i - 1]:
+                    while cur + min_shorter < n and not dead[cur + min_shorter]:
+                        min_shorter += 1
+            if min_shorter < i and min_shorter >= min_lrf:
+                if int(st.sdepth[st.parent[v]]) < min_shorter:
+                    bins.setdefault(min_shorter, []).append(v)
+            if len(selected) < 2:
+                continue
+            node_begins[v] = not_selected
+            dictionary.append((selected[0], i))
+            sym = len(dictionary) - 1
+            for s in selected:
+                nts.append((s, sym, i))
+                dead[s : s + i] = True
+    nts.sort()
+    return dictionary, nts
+
+
 class ESAStrategy(Algorithm):
     @classmethod
     def meta(cls) -> Meta:
@@ -255,10 +422,15 @@ class LFSCompressor(Compressor):
                 sa = ds.require_sa()
                 lcp = ds.require_lcp()
                 if strat_av.name in ("st", "bst", "sim_st"):
-                    min_lrf = int(strat_av.options.get("min_lrf", MIN_LRF))
-                    dictionary, nts = st_compute_rules(
-                        text, sa, lcp, max(min_lrf, 2)
+                    min_lrf = max(
+                        int(strat_av.options.get("min_lrf", MIN_LRF)), 2
                     )
+                    compute = {
+                        "st": st_compute_rules,
+                        "bst": bst_compute_rules,
+                        "sim_st": simst_compute_rules,
+                    }[strat_av.name]
+                    dictionary, nts = compute(text, sa, lcp, min_lrf)
                 else:
                     dictionary, nts = esa_compute_rules(text, sa, lcp)
 
