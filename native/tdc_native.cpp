@@ -1754,6 +1754,43 @@ int32_t tdc_lcpcomp_compact_decode(uint8_t* buffer, int64_t n,
     return 0;
 }
 
+// Segmented token interleave (host twin of coders/base.py:write_segmented,
+// the vectorized form of the reference's per-factor interleaved encode
+// loops, e.g. lzss::encode_text LZSSCoding.hpp:19-92): segment s emits
+// sc[c][s] values of column c in column order; a value expands to
+// cnt[c][v] tokens. Columns arrive concatenated with offset tables.
+// out_vals/out_bits must hold the total token count. Returns tokens
+// written, or -1 if cursors overran (inconsistent metadata).
+int64_t tdc_segment_interleave(const uint64_t* vals, const int64_t* bits,
+                               const int64_t* col_tok_off,
+                               const int64_t* cnt, const int64_t* col_val_off,
+                               const int64_t* sc, int64_t C, int64_t S,
+                               uint64_t* out_vals, int64_t* out_bits) {
+    std::vector<int64_t> vi((size_t)C, 0), ti((size_t)C, 0);
+    int64_t o = 0;
+    for (int64_t s = 0; s < S; ++s) {
+        for (int64_t c = 0; c < C; ++c) {
+            const int64_t nvals = sc[c * S + s];
+            for (int64_t k = 0; k < nvals; ++k) {
+                if (col_val_off[c] + vi[c] >= col_val_off[c + 1]) return -1;
+                const int64_t nt = cnt[col_val_off[c] + vi[c]++];
+                const int64_t src = col_tok_off[c] + ti[c];
+                if (src + nt > col_tok_off[c + 1]) return -1;
+                for (int64_t t = 0; t < nt; ++t) {
+                    const int64_t b = bits[src + t];
+                    const uint64_t m =
+                        b >= 64 ? ~0ULL : ((1ULL << b) - 1);  // pre-mask
+                    out_vals[o] = vals[src + t] & m;
+                    out_bits[o] = b;
+                    ++o;
+                }
+                ti[c] += nt;
+            }
+        }
+    }
+    return o;
+}
+
 // Queue-list decoder (capability mirror of
 // lcpcomp/decompress/DecodeQueueListBuffer.hpp:12-86): replays the stream
 // in cursor order — literals resolve their own position, factor positions

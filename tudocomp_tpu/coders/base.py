@@ -14,6 +14,7 @@ import numpy as np
 from dataclasses import dataclass
 from typing import Optional
 
+from .. import native
 from ..io.bitio import BitReader, BitWriter, bits_for, bits_for_arr
 from ..meta import Algorithm, Env
 from ..ranges import BitRange, Range
@@ -100,6 +101,26 @@ def write_segmented(w: BitWriter, enc: "Encoder", columns) -> bool:
     if not parts:
         return True
     S = len(parts[0][1])
+
+    lib = native.get_lib()
+    if lib is not None:
+        C = len(parts)
+        vals = np.concatenate([p[0][0] for p in parts], dtype=np.uint64)
+        bits = np.concatenate([p[0][1] for p in parts], dtype=np.int64)
+        cnts = np.concatenate([p[0][2] for p in parts], dtype=np.int64)
+        tok_off = np.zeros(C + 1, np.int64)
+        val_off = np.zeros(C + 1, np.int64)
+        np.cumsum([len(p[0][0]) for p in parts], out=tok_off[1:])
+        np.cumsum([len(p[0][2]) for p in parts], out=val_off[1:])
+        sc = np.concatenate([p[1] for p in parts], dtype=np.int64)  # [C, S]
+        out_vals = np.empty(len(vals), np.uint64)
+        out_bits = np.empty(len(vals), np.int64)
+        got = lib.tdc_segment_interleave(
+            vals, bits, tok_off, cnts, val_off, sc, C, S, out_vals, out_bits
+        )
+        assert got == len(vals), "segment interleave metadata mismatch"
+        w.write_ints(out_vals, out_bits, masked=True)  # masked natively
+        return True
 
     # per-column: cumulative token counts by value, segment starts in values
     col_data = []

@@ -208,6 +208,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_lcpcomp_flatten.argtypes = [u32p, u32p, u32p, i64]
     lib.tdc_lcpcomp_scan_decode.restype = ctypes.c_int32
     lib.tdc_lcpcomp_scan_decode.argtypes = [u8p, i64, u32p, u32p, u32p, i64, i64]
+    lib.tdc_segment_interleave.restype = i64
+    lib.tdc_segment_interleave.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        i64,
+        i64,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
     lib.tdc_esp_round.restype = i64
     lib.tdc_esp_round.argtypes = [
         u32p,
