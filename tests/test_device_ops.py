@@ -177,3 +177,49 @@ class TestDeviceTransforms:
             assert (
                 np.repeat(np.asarray(ch)[:nr], np.asarray(ln)[:nr]) == data
             ).all()
+
+
+class TestDeviceHuffmanDecode:
+    """Device-side decode: jump table + pointer doubling (ops/huffman_decode)."""
+
+    def test_matches_host_roundtrip(self):
+        from tudocomp_tpu.ops.huffman_decode import decode_payloads_device
+
+        rng = np.random.default_rng(7)
+        cases = [
+            b"abracadabra banana mississippi " * 10,
+            bytes(rng.integers(0, 256, 5000).astype(np.uint8)),
+            bytes(rng.zipf(1.5, 3000).clip(0, 255).astype(np.uint8)),
+            b"",
+            b"x",  # degenerate sigma=1 -> flag-0 raw literals
+            b"x" * 500,
+            b"ab",
+            bytes(range(256)) * 4,
+            "Unicode ไทย中文 русский".encode() * 7,
+        ]
+        payloads = [compress("encode(huff)", c, raw=True) for c in cases]
+        outs = decode_payloads_device(payloads, max_out=8192)
+        for c, o in zip(cases, outs):
+            assert o == c, c[:40]
+
+    def test_blockwise_container_device_decode(self):
+        from tudocomp_tpu.parallel.runtime import (
+            blockwise_huffman_compress,
+            blockwise_huffman_decompress,
+        )
+
+        rng = np.random.default_rng(8)
+        data = bytes(rng.zipf(1.4, 70000).clip(0, 255).astype(np.uint8))
+        for shared in (False, True):
+            c = blockwise_huffman_compress(data, block_size=1 << 13, shared_table=shared)
+            assert blockwise_huffman_decompress(c, device=True) == data
+
+    def test_skewed_deep_codes(self):
+        # exponential-ish histogram drives long codewords
+        from tudocomp_tpu.ops.huffman_decode import decode_payloads_device
+
+        parts = [bytes([i]) * (1 << min(i, 14)) for i in range(20)]
+        data = b"".join(parts)
+        payload = compress("encode(huff)", data, raw=True)
+        (out,) = decode_payloads_device([payload], max_out=len(data) + 1)
+        assert out == data

@@ -94,12 +94,22 @@ def blockwise_huffman_compress(
     return frame_streams(payloads, block_size)
 
 
-def blockwise_huffman_decompress(container: bytes) -> bytes:
-    """Host-side decode of the framed container (per-block huff decode)."""
-    from ..driver import decompress
+def blockwise_huffman_decompress(container: bytes, device: bool = False) -> bytes:
+    """Decode the framed container (per-block huff decode).
+
+    device=True runs the bulk symbol decode as one batched device call
+    (jump-table + pointer-doubling kernel, ops/huffman_decode.py); host
+    parses only the per-block table headers.
+    """
     from .blocks import unframe_streams
 
-    _, payloads = unframe_streams(container)
+    block_size, payloads = unframe_streams(container)
+    if device:
+        from ..ops.huffman_decode import decode_payloads_device
+
+        return b"".join(decode_payloads_device(payloads, max_out=block_size))
+    from ..driver import decompress
+
     out = bytearray()
     for p in payloads:
         out += decompress(p, id_string="encode(huff)", raw=True)
