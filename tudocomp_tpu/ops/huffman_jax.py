@@ -311,6 +311,12 @@ def huffman_table_tokens(numl, ordered_sym, sigma, longest):
 def _encode_one_block(block, n_valid, lengths, n_words, emit_table):
     """Token stream + packed words for one block given its code lengths."""
     cw, numl, ordered_sym, sigma, longest = canonical_codes(lengths)
+    # barrier: keep the comparison-matrix table computation out of the
+    # per-symbol gather fusion (same pathology as the histogram->sort one:
+    # XLA otherwise recomputes the [256,256] ranking per input element)
+    cw, numl, ordered_sym, sigma, longest, lengths = jax.lax.optimization_barrier(
+        (cw, numl, ordered_sym, sigma, longest, lengths)
+    )
 
     normal = sigma >= 2
     c = block.astype(jnp.int32)
@@ -361,6 +367,12 @@ def encode_blocks(blocks, n_valid, n_words, shared_table=False, emit_table=True)
     """
     hists = block_histograms(blocks, n_valid)
     if shared_table:
+        # one table from the global histogram: build it once and broadcast
+        # the lengths (B identical Moffat solves would be pure waste)
         shared = jnp.sum(hists, axis=0)
-        hists = jnp.broadcast_to(shared, hists.shape)
+        lengths = code_lengths_batch(shared[None, :])
+        lengths = jnp.broadcast_to(lengths[0], (blocks.shape[0], 256))
+        return jax.vmap(
+            lambda b, nv, ln: _encode_one_block(b, nv, ln, n_words, emit_table)
+        )(blocks, n_valid, lengths)
     return encode_blocks_with_hists(blocks, n_valid, hists, n_words, emit_table)

@@ -47,10 +47,17 @@ def make_block_encoder(mesh: Mesh, n_words: int, shared_table: bool = False):
     def local_encode(blocks, n_valid):
         hists = huffman_jax.block_histograms(blocks, n_valid)
         if shared_table:
-            # global histogram: sum local blocks, then psum across the mesh
+            # global histogram: sum local blocks, then psum across the mesh;
+            # solve the table once per device, broadcast lengths to blocks
             local = jnp.sum(hists, axis=0)
             glob = jax.lax.psum(local, "dp")
-            hists = jnp.broadcast_to(glob, hists.shape)
+            lengths = huffman_jax.code_lengths_batch(glob[None, :])
+            lengths = jnp.broadcast_to(lengths[0], (blocks.shape[0], 256))
+            return jax.vmap(
+                lambda b, nv, ln: huffman_jax._encode_one_block(
+                    b, nv, ln, n_words, True
+                )
+            )(blocks, n_valid, lengths)
         return huffman_jax.encode_blocks_with_hists(
             blocks, n_valid, hists, n_words
         )
