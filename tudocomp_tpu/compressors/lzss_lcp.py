@@ -12,6 +12,8 @@ literal feed, so entropy coders see exactly the reference's TextLiterals.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..base import Compressor
@@ -27,6 +29,13 @@ from . import lzss_common
 
 def lcp_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
     n = len(sa)
+    if os.environ.get("TDC_DEVICE_LZSS") == "1" and n:
+        # device factorization: parallel ANSV + orbit-doubling greedy parse
+        # (ops/lzss_jax.py); bit-identical factors to the native path
+        from ..ops.lzss_jax import lzss_lcp_factorize_device
+
+        pos, src, ln = lzss_lcp_factorize_device(sa, isa, lcp, threshold)
+        return lzss_common.Factors(pos, src, ln)
     lib = native.get_lib()
     if lib is not None and n:
         fpos = np.empty(n, np.uint32)

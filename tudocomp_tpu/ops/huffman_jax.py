@@ -200,6 +200,80 @@ def code_lengths_batch(hists: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(_phase3)(A, ranks, sigmas)
 
 
+def canonical_codes_batch(lengths: jnp.ndarray):
+    """Batched scatter-free canonical codes: [B, 256] lengths ->
+    (cw [B,256] u32, numl [B,MAX_LEN], ordered_sym [B,256], sigma [B],
+    longest [B]).
+
+    Same semantics as canonical_codes (HuffmanCoder.hpp:192-218), but every
+    per-block scatter/gather is replaced by comparison-matrix sums and
+    one-hot reductions over the 256-lane dimension: a vmapped 256-slot
+    scatter costs ~2 ms/batch on TPU where the [B,256,256] compare+reduce
+    is ~100 us (see etc/probe2.py measurements).
+    """
+    B = lengths.shape[0]
+    lengths = lengths.astype(jnp.int32)
+    present = lengths > 0
+    sigma = jnp.sum(present.astype(jnp.int32), axis=1)  # [B]
+    longest = jnp.max(lengths, axis=1)  # [B]
+
+    lrange = jnp.arange(1, MAX_LEN + 1, dtype=jnp.int32)  # [32]
+    numl = jnp.sum(
+        (lengths[:, None, :] == lrange[None, :, None]).astype(jnp.int32),
+        axis=2,
+    )  # [B, MAX_LEN]; absent symbols have length 0 and never match
+
+    # firstcode[l-1] = (firstcode[l] + numl[l]) / 2 descending (31-step
+    # scan with a [B] carry; slot i corresponds to code length i+1)
+    def fc_step(carry, i):
+        nxt = jnp.where(i < longest, (carry + numl[:, i]) >> 1, 0)
+        return nxt, nxt
+
+    _, fcs = jax.lax.scan(
+        fc_step,
+        jnp.zeros((B,), jnp.int32),
+        jnp.arange(MAX_LEN - 1, 0, -1, dtype=jnp.int32),
+    )  # fcs[k] = firstcode[MAX_LEN-2-k]
+    firstcode = jnp.concatenate(
+        [jnp.flip(fcs.T, axis=1), jnp.zeros((B, 1), jnp.int32)], axis=1
+    )  # [B, MAX_LEN]
+
+    # order by (length, symbol); absent sort last — comparison-matrix ranks
+    sym = jnp.arange(256, dtype=jnp.int32)
+    key = jnp.where(present, (lengths << 9) | sym, 0x7FFF0000 + sym)
+    rank = jnp.sum(
+        (key[:, None, :] < key[:, :, None]).astype(jnp.int32), axis=2
+    )  # [B, 256]; rank[b, s] = sorted position of symbol s
+    eq = rank[:, None, :] == sym[None, :, None]  # [B, pos, symbol]
+    ordered_sym = jnp.sum(jnp.where(eq, sym[None, None, :], 0), axis=2)
+    len_or_big = jnp.where(present, lengths, _BIG)
+    ordered_len = jnp.sum(jnp.where(eq, len_or_big[:, None, :], 0), axis=2)
+
+    # first position of each length group + firstcode, via one-hot over the
+    # MAX_LEN slots (no [B,·] gathers)
+    num_shorter = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(numl, axis=1)], axis=1
+    )  # [B, MAX_LEN+1]
+    slot = jnp.clip(ordered_len - 1, 0, MAX_LEN)  # [B, 256]
+    sl_oh = slot[:, :, None] == jnp.arange(MAX_LEN + 1, dtype=jnp.int32)
+    first_of_len = jnp.sum(
+        jnp.where(sl_oh, num_shorter[:, None, :], 0), axis=2
+    )
+    fc_of_len = jnp.sum(
+        jnp.where(sl_oh[:, :, :MAX_LEN], firstcode[:, None, :], 0), axis=2
+    )
+    pos = jnp.arange(256, dtype=jnp.int32)
+    ordered_cw = fc_of_len + (pos[None, :] - first_of_len)
+    live = pos[None, :] < sigma[:, None]
+    ordered_cw = jnp.where(live, ordered_cw, 0)
+    ordered_sym = jnp.where(live, ordered_sym, 0)
+    # invert the ordering back to per-symbol codewords (comparison sum)
+    cw = jnp.sum(jnp.where(eq, ordered_cw[:, :, None], 0), axis=1).astype(
+        jnp.uint32
+    )
+    return cw, numl, ordered_sym, sigma, longest
+
+
 def canonical_codes(lengths: jnp.ndarray):
     """Canonical codeword assignment (HuffmanCoder.hpp:192-218 semantics).
 
@@ -310,34 +384,100 @@ def huffman_table_tokens(numl, ordered_sym, sigma, longest):
 
 def _encode_one_block(block, n_valid, lengths, n_words, emit_table):
     """Token stream + packed words for one block given its code lengths."""
-    cw, numl, ordered_sym, sigma, longest = canonical_codes(lengths)
-    # barrier: keep the comparison-matrix table computation out of the
-    # per-symbol gather fusion (same pathology as the histogram->sort one:
-    # XLA otherwise recomputes the [256,256] ranking per input element)
+    return jax.tree_util.tree_map(
+        lambda x: x[0],
+        encode_blocks_from_lengths(
+            block[None], n_valid[None], lengths[None], n_words, emit_table
+        ),
+    )
+
+
+def _sym_tokens_matmul(blocks, lengths, cw):
+    """Per-symbol (code, nbits) via one-hot MXU matmul over byte columns.
+
+    A 256-entry table gather per element runs at ~0.04 GB/s on TPU; the
+    same lookup as onehot[bs,256] @ table[256,5] rides the MXU at ~6x
+    that (etc/probe2.py). Byte columns (0..255) are exact in bfloat16;
+    f32 accumulation is exact below 2^24.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    onehot = (blocks[:, :, None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
+    tbl = jnp.stack(
+        [
+            (cw & 0xFF).astype(jnp.bfloat16),
+            ((cw >> 8) & 0xFF).astype(jnp.bfloat16),
+            ((cw >> 16) & 0xFF).astype(jnp.bfloat16),
+            ((cw >> 24) & 0xFF).astype(jnp.bfloat16),
+            lengths.astype(jnp.bfloat16),
+        ],
+        axis=2,
+    )  # [B, 256, 5]
+    res = jnp.einsum(
+        "bic,bcf->bif", onehot, tbl, preferred_element_type=jnp.float32
+    )
+    b0 = res[..., 0].astype(jnp.uint32)
+    b1 = res[..., 1].astype(jnp.uint32)
+    b2 = res[..., 2].astype(jnp.uint32)
+    b3 = res[..., 3].astype(jnp.uint32)
+    code = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    return code.astype(jnp.int32), res[..., 4].astype(jnp.int32)
+
+
+def encode_blocks_from_lengths(blocks, n_valid, lengths, n_words, emit_table=True):
+    """[B, bs] blocks + [B, 256] code lengths -> ([B, n_words] u32, [B] bits).
+
+    The batched core of the encode pipeline: canonical codes (scatter-free),
+    per-symbol lookup (MXU one-hot matmul on TPU, gather elsewhere), table
+    token serialization, bit-pack.
+    """
+    B, bs = blocks.shape
+    cw, numl, ordered_sym, sigma, longest = canonical_codes_batch(lengths)
     cw, numl, ordered_sym, sigma, longest, lengths = jax.lax.optimization_barrier(
         (cw, numl, ordered_sym, sigma, longest, lengths)
     )
 
-    normal = sigma >= 2
-    c = block.astype(jnp.int32)
-    pos = jnp.arange(block.shape[0], dtype=jnp.int32)
-    live = pos < n_valid
+    normal = (sigma >= 2)[:, None]
+    c = blocks.astype(jnp.int32)
+    pos = jnp.arange(bs, dtype=jnp.int32)
+    live = pos[None, :] < n_valid[:, None]
+    if jax.default_backend() == "tpu":
+        code, nb = _sym_tokens_matmul(blocks, lengths, cw)
+    else:
+        code = jnp.take_along_axis(cw, c, axis=1).astype(jnp.int32)
+        nb = jnp.take_along_axis(lengths, c, axis=1)
     # normal: canonical code; degenerate: raw 8-bit literal
-    sym_vals = jnp.where(normal, cw[c].astype(jnp.int32), c)
-    sym_bits = jnp.where(live, jnp.where(normal, lengths[c], 8), 0)
+    sym_vals = jnp.where(normal, code, c)
+    sym_bits = jnp.where(live, jnp.where(normal, nb, 8), 0)
 
     if emit_table:
-        tv, tb = huffman_table_tokens(numl, ordered_sym, sigma, longest)
-        values = jnp.concatenate([tv, sym_vals])
-        nbits = jnp.concatenate([tb, sym_bits])
+        tv, tb = jax.vmap(huffman_table_tokens)(numl, ordered_sym, sigma, longest)
+        values = jnp.concatenate([tv, sym_vals], axis=1)
+        nbits = jnp.concatenate([tb, sym_bits], axis=1)
     else:
         values, nbits = sym_vals, sym_bits
-    return pack_tokens(values, nbits, n_words)
+    return jax.vmap(lambda v, n: pack_tokens(v, n, n_words))(values, nbits)
 
 
 def block_histograms(blocks, n_valid):
-    """[B, bs] u8 + [B] valid counts -> [B, 256] i32 histograms."""
-    pos = jnp.arange(blocks.shape[1], dtype=jnp.int32)
+    """[B, bs] u8 + [B] valid counts -> [B, 256] i32 histograms.
+
+    On TPU: ones @ onehot MXU matmul (scatter-add histograms run at
+    ~0.09 GB/s vs ~0.5 GB/s for the matmul form; etc/probe2.py). The
+    valid-prefix mask rides the ones vector, so padding never needs a
+    separate pass. f32 accumulation is exact for counts < 2^24.
+    """
+    B, bs = blocks.shape
+    pos = jnp.arange(bs, dtype=jnp.int32)
+    if jax.default_backend() == "tpu":
+        live = (pos[None, :] < n_valid[:, None]).astype(jnp.bfloat16)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+        onehot = (blocks[:, :, None].astype(jnp.int32) == iota).astype(
+            jnp.bfloat16
+        )
+        h = jnp.einsum(
+            "bi,bic->bc", live, onehot, preferred_element_type=jnp.float32
+        )
+        return h.astype(jnp.int32)
 
     def hist_of(block, nv):
         contrib = jnp.where(pos < nv, jnp.int32(1), jnp.int32(0))
@@ -351,9 +491,7 @@ def encode_blocks_with_hists(blocks, n_valid, hists, n_words, emit_table=True):
     them; pass a broadcast psum'd histogram for the shared-table mode)."""
     assert blocks.shape[1] <= MAX_BLOCK, "block too large for 32-bit code tokens"
     lengths = code_lengths_batch(hists)
-    return jax.vmap(
-        lambda b, nv, ln: _encode_one_block(b, nv, ln, n_words, emit_table)
-    )(blocks, n_valid, lengths)
+    return encode_blocks_from_lengths(blocks, n_valid, lengths, n_words, emit_table)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -372,7 +510,7 @@ def encode_blocks(blocks, n_valid, n_words, shared_table=False, emit_table=True)
         shared = jnp.sum(hists, axis=0)
         lengths = code_lengths_batch(shared[None, :])
         lengths = jnp.broadcast_to(lengths[0], (blocks.shape[0], 256))
-        return jax.vmap(
-            lambda b, nv, ln: _encode_one_block(b, nv, ln, n_words, emit_table)
-        )(blocks, n_valid, lengths)
+        return encode_blocks_from_lengths(
+            blocks, n_valid, lengths, n_words, emit_table
+        )
     return encode_blocks_with_hists(blocks, n_valid, hists, n_words, emit_table)

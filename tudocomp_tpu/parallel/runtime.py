@@ -53,11 +53,9 @@ def make_block_encoder(mesh: Mesh, n_words: int, shared_table: bool = False):
             glob = jax.lax.psum(local, "dp")
             lengths = huffman_jax.code_lengths_batch(glob[None, :])
             lengths = jnp.broadcast_to(lengths[0], (blocks.shape[0], 256))
-            return jax.vmap(
-                lambda b, nv, ln: huffman_jax._encode_one_block(
-                    b, nv, ln, n_words, True
-                )
-            )(blocks, n_valid, lengths)
+            return huffman_jax.encode_blocks_from_lengths(
+                blocks, n_valid, lengths, n_words, True
+            )
         return huffman_jax.encode_blocks_with_hists(
             blocks, n_valid, hists, n_words
         )
