@@ -8,6 +8,14 @@ import os
 # env vars alone can't undo that, so override the config here (backends are
 # not initialized yet when conftest runs). Subprocesses spawned by tests
 # inherit PALLAS_AXON_POOL_IPS="" which disables the registration entirely.
+# snapshot the originals so TPU-hardware tests (tests/test_tpu_hw.py) can
+# spawn subprocesses with the real accelerator backend restored
+os.environ.setdefault(
+    "TDC_ORIG_PALLAS_AXON_POOL_IPS", os.environ.get("PALLAS_AXON_POOL_IPS", "\x00")
+)
+os.environ.setdefault(
+    "TDC_ORIG_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", "\x00")
+)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")

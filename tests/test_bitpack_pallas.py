@@ -63,6 +63,21 @@ def test_single_bit_stream():
     run_case(values, nbits, 40)
 
 
+def test_overflow_drops_bits_like_pack_tokens():
+    # stream exceeds the arena: words near the n_words boundary must match
+    # pack_tokens' clean per-word drop (ADVICE r2 item 1)
+    rng = np.random.default_rng(6)
+    B, NT = 2, 2048
+    nbits = rng.integers(8, 33, (B, NT)).astype(np.int32)
+    values = rng.integers(0, 1 << 31, (B, NT)).astype(np.uint32)
+    run_case(values, nbits, 200)
+
+
+def test_empty_token_stream():
+    # NT == 0 must return zeroed arenas, not uninitialized memory
+    run_case(np.zeros((3, 0), np.uint32), np.zeros((3, 0), np.int32), 8)
+
+
 def test_tail_padding_multiple_tiles():
     rng = np.random.default_rng(5)
     B, NT = 2, 3000  # pads to 3072, crosses tile boundaries mid-stream

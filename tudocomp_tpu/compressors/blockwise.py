@@ -69,7 +69,18 @@ class BlockwiseCompressor(Compressor):
 
     def decompress(self, inp: Input, out: Output) -> None:
         comp, av = self._inner()
-        _, payloads = unframe_streams(inp.as_bytes())
+        block_size, payloads = unframe_streams(inp.as_bytes())
+        from ..device import use_device
+
+        if av.id_string() in ("encode(coder=huff)", "encode(huff)") and use_device(
+            "TDC_DEVICE_HUFF"
+        ):
+            with StatPhase("device blockwise decode"):
+                from ..ops.huffman_decode import decode_payloads_device
+
+                for part in decode_payloads_device(payloads, max_out=block_size):
+                    out.write(np.frombuffer(part, np.uint8))
+                return
         with StatPhase("blockwise decode"):
             for p in payloads:
                 comp.decompress(Input(np.frombuffer(p, np.uint8)), out)

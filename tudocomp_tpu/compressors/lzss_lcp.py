@@ -29,9 +29,12 @@ from . import lzss_common
 
 def lcp_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
     n = len(sa)
-    if os.environ.get("TDC_DEVICE_LZSS") == "1" and n:
+    from ..device import use_device
+
+    if n and use_device("TDC_DEVICE_LZSS", min_n=1 << 14, n=n):
         # device factorization: parallel ANSV + orbit-doubling greedy parse
-        # (ops/lzss_jax.py); bit-identical factors to the native path
+        # (ops/lzss_jax.py); bit-identical factors to the native path;
+        # default on TPU, opt-out TDC_DEVICE_LZSS=0
         from ..ops.lzss_jax import lzss_lcp_factorize_device
 
         pos, src, ln = lzss_lcp_factorize_device(sa, isa, lcp, threshold)

@@ -44,16 +44,33 @@ class NoopCompressor(Compressor):
 
 
 def rle_encode(data: np.ndarray, offset: int = 0) -> np.ndarray:
-    """Vectorized RLE matching rle_encode (RunLengthEncoder.hpp:16-32)."""
+    """Vectorized RLE matching rle_encode (RunLengthEncoder.hpp:16-32).
+
+    The run decomposition runs on device when a TPU backend is present
+    (ops/transforms.rle_runs_device); vbyte serialization stays host-side.
+    """
     n = len(data)
     if n == 0:
         return data
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    np.not_equal(data[1:], data[:-1], out=change[1:])
-    run_starts = np.flatnonzero(change)
-    run_lens = np.diff(np.append(run_starts, n))
-    chars = data[run_starts]
+    from ..device import use_device
+
+    if use_device("TDC_DEVICE_RLE", min_n=1 << 16, n=n):
+        import jax.numpy as jnp
+
+        from ..ops.transforms import rle_runs_device
+
+        dchars, dlens, n_runs = rle_runs_device(jnp.asarray(data))
+        n_runs = int(n_runs)
+        chars = np.asarray(dchars)[:n_runs]
+        run_lens = np.asarray(dlens)[:n_runs].astype(np.int64)
+        run_starts = np.cumsum(run_lens) - run_lens
+    else:
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(data[1:], data[:-1], out=change[1:])
+        run_starts = np.flatnonzero(change)
+        run_lens = np.diff(np.append(run_starts, n))
+        chars = data[run_starts]
     # runs of length 1 -> char; runs >= 2 -> char char vbyte(len-2+offset)
     is_run = run_lens >= 2
     vbytes = vbyte_encode_array(run_lens[is_run] - 2 + offset)
@@ -145,12 +162,24 @@ def mtf_encode(data: np.ndarray) -> np.ndarray:
     fallback; see tudocomp_tpu.ops.mtf for the O(n*sigma) data-parallel
     device formulation (rank = #distinct chars since previous occurrence)."""
     from .. import native
+    from ..device import use_device
 
     data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    if use_device("TDC_DEVICE_MTF", min_n=1 << 16, n=n):
+        import jax.numpy as jnp
+
+        from ..ops.transforms import mtf_encode_device
+
+        chunk = 4096
+        pad = (-n) % chunk
+        padded = np.pad(data, (0, pad)) if pad else data
+        out = np.asarray(mtf_encode_device(jnp.asarray(padded), chunk))
+        return out[:n]
     lib = native.get_lib()
-    if lib is not None and len(data):
-        out = np.empty(len(data), np.uint8)
-        lib.tdc_mtf_encode(data, len(data), out)
+    if lib is not None and n:
+        out = np.empty(n, np.uint8)
+        lib.tdc_mtf_encode(data, n, out)
         return out
     from ..ops.mtf import mtf_encode_host
 

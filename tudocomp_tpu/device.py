@@ -1,0 +1,56 @@
+"""Backend-conditional execution policy: device paths are the default on TPU.
+
+The framework is TPU-native (SURVEY.md §7 stance): when an accelerator
+backend is present, compute-heavy stages (SA construction, LZSS
+factorization, MTF/RLE transforms, Huffman encode/decode) run on device by
+default. Host (native C++/numpy) paths remain the default on CPU-only
+installs, where XLA:CPU loses to the tuned native code.
+
+Per-stage env overrides (1 = force device, 0 = force host):
+  TDC_DEVICE_SA, TDC_DEVICE_LZSS, TDC_DEVICE_MTF, TDC_DEVICE_RLE,
+  TDC_DEVICE_HUFF
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+__all__ = ["accelerator_backend", "use_device"]
+
+
+@lru_cache(maxsize=1)
+def accelerator_backend() -> str | None:
+    """The default JAX backend if it is an accelerator, else None.
+
+    Importing jax initializes the backend; cache the answer (it cannot
+    change within a process).
+    """
+    if os.environ.get("TDC_NO_DEVICE") == "1":
+        return None
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        return None
+    return backend if backend not in ("cpu",) else None
+
+
+def use_device(env_var: str, min_n: int = 0, n: int | None = None) -> bool:
+    """Should this stage run on device?
+
+    Explicit env overrides win; otherwise device iff an accelerator is the
+    default backend and the problem size reaches min_n (tiny inputs are
+    dominated by dispatch latency).
+    """
+    v = os.environ.get(env_var)
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    if accelerator_backend() is None:
+        return False
+    if n is not None and n < min_n:
+        return False
+    return True

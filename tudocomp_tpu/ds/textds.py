@@ -62,10 +62,11 @@ class TextDS:
             with StatPhase("Construct SA") as ph:
                 lib = native.get_lib()
                 n = len(self.text)
-                if os.environ.get("TDC_DEVICE_SA") == "1" and n:
+                from ..device import use_device
+
+                if n and use_device("TDC_DEVICE_SA", min_n=1 << 14, n=n):
                     # device prefix-doubling SA (radix two-key sorts under
-                    # a while_loop); the host SA-IS stays the default —
-                    # flip with TDC_DEVICE_SA=1
+                    # a while_loop); default on TPU, opt-out TDC_DEVICE_SA=0
                     from .suffix_array import suffix_array_jax
 
                     self._sa = np.asarray(suffix_array_jax(self.text)).astype(

@@ -13,16 +13,21 @@ associative-scan + searchsorted pack takes >30 min to compile
      exclusive bit offset
   2. per-token word contributions: hi -> word off>>5, lo -> next word
      (tokens straddle at most one boundary since nbits <= 32)
-  3. per 128-token row: segmented XOR-scan by target word (only the last
-     token of a segment can straddle, so interior lo parts are zero);
-     segment-last lanes hold each word's combined contribution
-  4. scatter within the row via a one-hot byte-plane matmul
-     onehot[384, 128] @ planes[128, 8] on the MXU (j = word slot relative
-     to the row's 128-aligned base; bit-disjoint contributions make
-     sum == or, byte planes keep everything exact in bf16/f32)
-  5. XOR read-modify-write of the 384-word aligned window into the
-     VMEM-resident output arena (one per row; rows/tiles/blocks sharing a
-     boundary word compose through the XOR)
+  3. per 128-token row: XOR-scan of hi contributions keyed by target word
+     w0 (elements i and i-k combine iff w0 matches — w0 is non-decreasing,
+     so equal w0 <=> same segment; keying avoids i1 flag vectors, which
+     Mosaic cannot dynamic-rotate); segment-last lanes hold each word's
+     combined contribution. Only the last token of a segment can straddle,
+     so interior lo parts are zero.
+  4. scatter within the tile via a one-hot byte-plane matmul
+     onehot[8, WIN_T=1280, 128] @ planes[8, 128, 8] on the MXU (slot =
+     word index relative to the tile's 128-aligned base; bit-disjoint
+     contributions make sum == or, byte planes keep everything exact in
+     bf16/f32). Contributions at or beyond n_words are masked to slot -1
+     so an overflowing stream drops bits exactly like pack_tokens.
+  5. one XOR read-modify-write of the WIN_T-word aligned window into the
+     VMEM-resident output arena per tile; rows/tiles/blocks sharing a
+     boundary word compose through the XOR
 
 Bit-exact with ops/bitpack.pack_tokens; validated against it in
 tests/test_bitpack_pallas.py (interpret mode) and on TPU by the encode
@@ -49,7 +54,7 @@ def _roll_down(x, k, axis):
     return pltpu.roll(x, k, axis=axis)
 
 
-def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry):
+def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -79,11 +84,12 @@ def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry):
     bits_ref[0, 0, 0] = carry[0]
 
     # 2. hi/lo word contributions
-    nbu = nb.astype(jnp.uint32)
+    # min computed in i32: Mosaic has no arith.minui legalization
+    nb_clip = jnp.minimum(nb, 31).astype(jnp.uint32)
     mask = jnp.where(
         nb >= 32,
         jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << jnp.minimum(nbu, 31)) - jnp.uint32(1),
+        (jnp.uint32(1) << nb_clip) - jnp.uint32(1),
     )
     vm = v & mask
     sh_end = (off & 31) + nb  # (0, 63]
@@ -103,53 +109,62 @@ def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry):
     lo = jnp.where(live, lo, jnp.uint32(0))
     w0 = off >> 5
 
-    # 3. segmented XOR-scan of hi by target word, along lanes
-    head = (lane == 0) | (w0 != _roll_down(w0, 1, 1))
-    xs, f = hi, head
+    # 3. XOR-scan of hi keyed by target word, along lanes. w0 is
+    # non-decreasing within a row, so "same segment" == "equal w0"; the
+    # keyed form needs no i1 flag vector (Mosaic cannot rotate i1 data).
+    xs = hi
     for k in (1, 2, 4, 8, 16, 32, 64):
-        ok = lane >= k
-        xk = _roll_down(xs, k, 1)
-        fk = _roll_down(f, k, 1)
-        xs = jnp.where(ok & ~f, xs ^ xk, xs)
-        f = f | (ok & fk)
+        ok = (lane >= k) & (w0 == _roll_down(w0, k, 1))
+        xs = jnp.where(ok, xs ^ _roll_down(xs, k, 1), xs)
     nxt_w0 = _roll_down(w0, 127, 1)  # w0 of next lane (roll by -1 mod 128)
     seg_last = (lane == 127) | (w0 != nxt_w0)
-    hi_c = jnp.where(seg_last, xs, jnp.uint32(0))
-    lo_c = jnp.where(seg_last, lo, jnp.uint32(0))
+    # drop contributions past the arena bound the same way pack_tokens
+    # does (hi lands at w0, lo at w0 + 1)
+    hi_c = jnp.where(seg_last & (w0 < n_words), xs, jnp.uint32(0))
+    lo_c = jnp.where(seg_last & (w0 + 1 < n_words), lo, jnp.uint32(0))
 
     # 4. one-hot byte-plane matmul scatter into the tile's aligned window.
     # The window base derives from the SMEM carry scalar alone (a dynamic
     # store base computed from a vector extract crashes the Mosaic
     # compiler; an SMEM-scalar base is fine — etc/probe7.py bisection).
     a = ((c0 >> 5) >> 7) * 128  # 128-aligned word base of the whole tile
-    w0a = jnp.where(seg_last, w0 - a, -1)  # 0..1151, or -1 (no segment)
+    a = jnp.minimum(a, nwp - WIN_T)  # overflowed tiles: keep ds in bounds
+    w0a = jnp.where(
+        seg_last & (w0 < n_words), w0 - a, -1
+    )  # 0..1151, or -1 (no segment / dropped)
     jidx = jax.lax.broadcasted_iota(jnp.int32, (8, WIN_T, 128), 1)
     onehot = (w0a[:, None, :] == jidx).astype(jnp.bfloat16)
 
-    def planes_of(c):
-        return jnp.stack(
-            [
-                (c & 0xFF).astype(jnp.int32).astype(jnp.bfloat16),
-                ((c >> 8) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16),
-                ((c >> 16) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16),
-                ((c >> 24) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16),
-            ],
-            axis=2,
-        )
+    # one batched mat-vec per byte plane — keeping each plane a separate
+    # [8, 128] operand avoids minor-dim stack/convert lowering, which
+    # Mosaic miscompiles (plane 2 of a [8,128,8] packed operand read back
+    # as zeros on v5e; bisected on hardware)
+    def scat(c_shift):
+        plane = (c_shift & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.bfloat16)
+        # rhs shaped [B, 1, K]: the only batched-matmul rhs form Mosaic's
+        # tpu.matmul lowering accepts for a 3-D lhs
+        r = jax.lax.dot_general(
+            onehot,
+            plane[:, None, :],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [8, WIN_T, 1]
+        # reduce rows with a 2-D output ([WIN_T, 1]); Mosaic rejects
+        # multi_reduction straight to 1-D ("output implicit dimension")
+        s = jnp.sum(r, axis=0)
+        return s[:, 0].astype(jnp.int32).astype(jnp.uint32)
 
-    planes = jnp.concatenate([planes_of(hi_c), planes_of(lo_c)], axis=2)
-    res = jax.lax.dot_general(
-        onehot,
-        planes,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [8, WIN_T, 8]
-    resi = jnp.sum(res, axis=0).astype(jnp.int32).astype(jnp.uint32)  # [WIN_T, 8]
     hi_w = (
-        resi[:, 0] | (resi[:, 1] << 8) | (resi[:, 2] << 16) | (resi[:, 3] << 24)
+        scat(hi_c)
+        | (scat(hi_c >> 8) << 8)
+        | (scat(hi_c >> 16) << 16)
+        | (scat(hi_c >> 24) << 24)
     )
     lo_w = (
-        resi[:, 4] | (resi[:, 5] << 8) | (resi[:, 6] << 16) | (resi[:, 7] << 24)
+        scat(lo_c)
+        | (scat(lo_c >> 8) << 8)
+        | (scat(lo_c >> 16) << 16)
+        | (scat(lo_c >> 24) << 24)
     )
     # lo lands one word after its token's w0
     lo_sh = jnp.concatenate([jnp.zeros((1,), jnp.uint32), lo_w[: WIN_T - 1]])
@@ -178,6 +193,11 @@ def pack_blocks_pallas(values, nbits, n_words: int, interpret: bool = False):
     a block's stream get nbits 0.
     """
     B, NT = values.shape
+    if NT == 0:
+        return (
+            jnp.zeros((B, n_words), jnp.uint32),
+            jnp.zeros((B,), jnp.int32),
+        )
     values = values.astype(jnp.uint32)
     nbits = nbits.astype(jnp.int32)
     values, nbits, NTp = _pad_tokens(values, nbits)
@@ -187,7 +207,7 @@ def pack_blocks_pallas(values, nbits, n_words: int, interpret: bool = False):
     v4 = values.reshape(B, T, 8, 128)
     n4 = nbits.reshape(B, T, 8, 128)
     words, bits = pl.pallas_call(
-        _pack_kernel,
+        partial(_pack_kernel, n_words=n_words, nwp=NWp),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec(

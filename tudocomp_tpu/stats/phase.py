@@ -1,20 +1,32 @@
 """StatPhase: nested RAII-style phases with wall time + memory stats.
 
 Mirror of include/tudocomp_stat/StatPhase.hpp:44-322 and PhaseData.hpp: a
-tree of phases, each measuring wall-clock ms and memory deltas, with custom
+tree of phases, each measuring wall-clock ms and heap deltas, with custom
 key/value stats and JSON export in the exact schema consumed by tudocomp's
-Charter web app (www/charter/). On TPU the memory columns report device
-memory via jax device.memory_stats() when available; host-side allocations
-are tracked with tracemalloc when enabled.
+Charter web app (www/charter/).
+
+Memory parity (src/tudocomp_stat/malloc.cpp:24-84 gives the reference
+per-phase heap off/current/peak via a malloc override): the rebuild tracks
+host heap with tracemalloc — numpy routes its buffer allocations through
+PyTraceMalloc, so array workloads are fully visible — and is ON by default,
+like the reference's always-linked override. Nested phases propagate their
+absolute peak to ancestors so a parent's memPeak covers its children even
+though tracemalloc has a single global peak counter. Device memory
+(jax device.memory_stats(), an RPC on tunneled setups) is opt-in via
+StatPhase.track_device_memory / TDC_DEVICE_MEMSTATS=1 and reported as
+extra stats keys.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+import tracemalloc
 from typing import Any, Optional
 
 _current: Optional["StatPhase"] = None
+_started_tracing = False
 
 
 def _now_ms() -> float:
@@ -33,10 +45,27 @@ def _device_mem() -> int:
     return 0
 
 
+def _ensure_tracing() -> bool:
+    """Start tracemalloc on first use (the analogue of linking the malloc
+    override); returns whether tracing is active."""
+    global _started_tracing
+    if tracemalloc.is_tracing():
+        return True
+    try:
+        tracemalloc.start()
+        _started_tracing = True
+        return True
+    except Exception:
+        return False
+
+
 class StatPhase:
     """Nested timing phase. Use as context manager or via StatPhase.wrap."""
 
-    track_memory = False  # device-memory polling is off by default (cheap-ish but rpc)
+    # host-heap tracking on by default (parity with the reference's
+    # always-on malloc override); disable with TDC_TRACK_MEM=0
+    track_memory = os.environ.get("TDC_TRACK_MEM", "1") != "0"
+    track_device_memory = os.environ.get("TDC_DEVICE_MEMSTATS") == "1"
 
     def __init__(self, title: str):
         self.title = title
@@ -48,6 +77,8 @@ class StatPhase:
         self.mem_current = 0
         self.mem_peak = 0
         self._parent: Optional[StatPhase] = None
+        self._abs_peak = 0
+        self._tracing = False
         self._paused = 0.0
 
     # -- lifecycle ------------------------------------------------------------
@@ -58,18 +89,37 @@ class StatPhase:
         if self._parent is not None:
             self._parent.children.append(self)
         _current = self
+        if StatPhase.track_memory and _ensure_tracing():
+            self._tracing = True
+            cur, peak = tracemalloc.get_traced_memory()
+            # the open peak window belongs to the parent; hand it over
+            # before resetting for this phase
+            if self._parent is not None and self._parent._tracing:
+                self._parent._abs_peak = max(self._parent._abs_peak, peak)
+            tracemalloc.reset_peak()
+            self.mem_off = cur
+            self._abs_peak = cur
+        if StatPhase.track_device_memory:
+            self.stats["devMemOff"] = _device_mem()
         self.time_start = _now_ms()
-        if StatPhase.track_memory:
-            self.mem_off = _device_mem()
         return self
 
     def __exit__(self, *exc) -> bool:
         global _current
         self.time_end = _now_ms()
-        if StatPhase.track_memory:
-            cur = _device_mem()
+        if self._tracing and tracemalloc.is_tracing():
+            cur, peak = tracemalloc.get_traced_memory()
+            self._abs_peak = max(self._abs_peak, peak, cur)
             self.mem_current = cur - self.mem_off
-            self.mem_peak = max(self.mem_peak, self.mem_current)
+            self.mem_peak = max(0, self._abs_peak - self.mem_off)
+            if self._parent is not None and self._parent._tracing:
+                self._parent._abs_peak = max(
+                    self._parent._abs_peak, self._abs_peak
+                )
+            # fresh window for whatever the parent does next
+            tracemalloc.reset_peak()
+        if StatPhase.track_device_memory:
+            self.stats["devMemFinal"] = _device_mem()
         _current = self._parent
         return False
 
