@@ -58,8 +58,14 @@ class BlockwiseCompressor(Compressor):
                 ph.log("bs", bs)
                 out.write(blockwise_huffman_compress(bytes(data), bs, shared_table=shared))
                 return
+        blocks, n_valid = split_blocks(data, bs)
+        batch = getattr(comp, "compress_block_batch", None)
+        if batch is not None and _device_available():
+            payloads = batch(blocks, n_valid)
+            if payloads is not None:
+                out.write(frame_streams(payloads, bs))
+                return
         with StatPhase("host blockwise encode"):
-            blocks, n_valid = split_blocks(data, bs)
             payloads = []
             for i in range(len(blocks)):
                 o = Output()

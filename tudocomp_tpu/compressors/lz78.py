@@ -132,27 +132,47 @@ class LZ78Compressor(Compressor):
         m.option("dict_size").dynamic(0)
         return m
 
+    def _encode_factors(self, parents: np.ndarray, chars: np.ndarray) -> bytes:
+        coder_cls, coder_env = self.env.algorithm_for_option("coder")
+        w = BitWriter()
+        enc = coder_cls.Encoder(coder_env, w, NoLiterals())
+        nf = len(parents)
+        maxes = np.arange(nf, dtype=np.uint64)  # Range(factor_count)
+        t1 = enc.tokens(parents.astype(np.uint64), maxes)
+        t2 = enc.tokens(chars, literal_r)
+        if t1 is not None and t2 is not None:
+            write_interleaved(w, [t1, t2])
+        else:
+            for i in range(nf):
+                enc.encode(int(parents[i]), Range(0, i))
+                enc.encode(int(chars[i]), literal_r)
+        enc.finalize()
+        return w.getvalue()
+
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
         trie = self.env.option("lz78trie").as_algorithm().name
         with StatPhase("Lz78 compression") as phase:
             parents, chars = lz78_parse(data, trie)
             phase.log("factor_count", len(parents))
-            coder_cls, coder_env = self.env.algorithm_for_option("coder")
-            w = BitWriter()
-            enc = coder_cls.Encoder(coder_env, w, NoLiterals())
-            nf = len(parents)
-            maxes = np.arange(nf, dtype=np.uint64)  # Range(factor_count)
-            t1 = enc.tokens(parents.astype(np.uint64), maxes)
-            t2 = enc.tokens(chars, literal_r)
-            if t1 is not None and t2 is not None:
-                write_interleaved(w, [t1, t2])
-            else:
-                for i in range(nf):
-                    enc.encode(int(parents[i]), Range(0, i))
-                    enc.encode(int(chars[i]), literal_r)
-            enc.finalize()
-        out.write(w.getvalue())
+            out.write(self._encode_factors(parents, chars))
+
+    def compress_block_batch(self, blocks: np.ndarray, n_valid: np.ndarray):
+        """Device batch hook for the blockwise runtime: parse all blocks in
+        one lockstep Pallas call (ops/lz78_pallas.py), encode per block.
+        Returns None when the device path does not apply."""
+        from ..device import use_device
+
+        B, bs = blocks.shape
+        if bs > 8192 or not use_device("TDC_DEVICE_LZ78"):
+            return None
+        from ..ops.lz78_pallas import lz78_parse_blocks_device
+
+        with StatPhase("device lz78 parse") as ph:
+            ph.log("blocks", B)
+            factors = lz78_parse_blocks_device(blocks, n_valid)
+        with StatPhase("encode"):
+            return [self._encode_factors(p, c) for p, c in factors]
 
     def decompress(self, inp: Input, out: Output) -> None:
         coder_cls, coder_env = self.env.algorithm_for_option("coder")

@@ -54,17 +54,13 @@ def _roll_down(x, k, axis):
     return pltpu.roll(x, k, axis=axis)
 
 
-def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
-    t = pl.program_id(1)
+def _tile_pack(v, nb, c0, n_words, nwp):
+    """Pack one [8, 128] token tile starting at bit offset c0.
 
-    @pl.when(t == 0)
-    def _():
-        w_ref[...] = jnp.zeros(w_ref.shape, w_ref.dtype)
-        carry[0] = 0
-
-    v = v_ref[0, 0].astype(jnp.uint32)  # [8, 128]
-    nb = nb_ref[0, 0].astype(jnp.int32)  # [8, 128]
-
+    Returns (W [WIN_T] u32 window contribution, a window base scalar,
+    tile_bits scalar). Shared by the token kernel and the fused
+    byte-lookup kernel.
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
@@ -77,11 +73,9 @@ def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
     for k in (1, 2, 4):
         rsum = rsum + jnp.where(subl >= k, _roll_down(rsum, k, 0), 0)
     row_base = rsum - row_tot  # exclusive row prefix, broadcast over lanes
-    c0 = carry[0]
     incl = x + row_base
     off = c0 + incl - nb  # global exclusive bit offset per token
-    carry[0] = c0 + rsum[7, 0]  # rsum[7, *] = tile total bits
-    bits_ref[0, 0, 0] = carry[0]
+    tile_bits = rsum[7, 0]  # rsum[7, *] = tile total bits
 
     # 2. hi/lo word contributions
     # min computed in i32: Mosaic has no arith.minui legalization
@@ -135,45 +129,184 @@ def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
     jidx = jax.lax.broadcasted_iota(jnp.int32, (8, WIN_T, 128), 1)
     onehot = (w0a[:, None, :] == jidx).astype(jnp.bfloat16)
 
-    # one batched mat-vec per byte plane — keeping each plane a separate
-    # [8, 128] operand avoids minor-dim stack/convert lowering, which
-    # Mosaic miscompiles (plane 2 of a [8,128,8] packed operand read back
-    # as zeros on v5e; bisected on hardware)
-    def scat(c_shift):
-        plane = (c_shift & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.bfloat16)
-        # rhs shaped [B, 1, K]: the only batched-matmul rhs form Mosaic's
-        # tpu.matmul lowering accepts for a 3-D lhs
-        r = jax.lax.dot_general(
-            onehot,
-            plane[:, None, :],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [8, WIN_T, 1]
-        # reduce rows with a 2-D output ([WIN_T, 1]); Mosaic rejects
-        # multi_reduction straight to 1-D ("output implicit dimension")
-        s = jnp.sum(r, axis=0)
-        return s[:, 0].astype(jnp.int32).astype(jnp.uint32)
-
-    hi_w = (
-        scat(hi_c)
-        | (scat(hi_c >> 8) << 8)
-        | (scat(hi_c >> 16) << 16)
-        | (scat(hi_c >> 24) << 24)
+    # all 8 byte planes ride one batched matmul: rhs [8, 128tok, 128k]
+    # carries plane k of token t at [.., t, k] (lanes 0-3 = hi bytes,
+    # 4-7 = lo bytes, rest zero). Built by broadcast+select in i32 —
+    # Mosaic miscompiles minor-dim stack/convert packing (plane 2 of a
+    # [8,128,8] stacked operand read back as zeros on v5e; bisected on
+    # hardware), but plain i32 broadcasts and a minor-dim-128 layout are
+    # its bread and butter.
+    lanek = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+    hi_b = jax.lax.broadcast_in_dim(
+        hi_c.astype(jnp.int32), (8, 128, 128), (0, 1)
     )
-    lo_w = (
-        scat(lo_c)
-        | (scat(lo_c >> 8) << 8)
-        | (scat(lo_c >> 16) << 16)
-        | (scat(lo_c >> 24) << 24)
+    lo_b = jax.lax.broadcast_in_dim(
+        lo_c.astype(jnp.int32), (8, 128, 128), (0, 1)
+    )
+    src = jnp.where(lanek < 4, hi_b, jnp.where(lanek < 8, lo_b, 0))
+    planes = ((src >> ((lanek & 3) * 8)) & 0xFF).astype(jnp.bfloat16)
+    res = jax.lax.dot_general(
+        onehot,
+        planes,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [8, WIN_T, 128]
+    resi = jnp.sum(res, axis=0).astype(jnp.int32)  # [WIN_T, 128]
+    lanew = jax.lax.broadcasted_iota(jnp.int32, (WIN_T, 128), 1)
+    shifted = resi << ((lanew & 3) * 8)
+    hi_w = jnp.sum(
+        jnp.where(lanew < 4, shifted, 0), axis=1, keepdims=True
+    )  # [WIN_T, 1]
+    lo_w = jnp.sum(
+        jnp.where((lanew >= 4) & (lanew < 8), shifted, 0), axis=1, keepdims=True
     )
     # lo lands one word after its token's w0
-    lo_sh = jnp.concatenate([jnp.zeros((1,), jnp.uint32), lo_w[: WIN_T - 1]])
-    W = hi_w ^ lo_sh  # [WIN_T]
+    lo_sh = jnp.concatenate(
+        [jnp.zeros((1, 1), jnp.int32), lo_w[: WIN_T - 1]], axis=0
+    )
+    W = (hi_w ^ lo_sh).astype(jnp.uint32)[:, 0]  # [WIN_T]
+    return W, a, tile_bits
+
+
+def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        w_ref[...] = jnp.zeros(w_ref.shape, w_ref.dtype)
+        carry[0] = 0
+
+    v = v_ref[0, 0].astype(jnp.uint32)  # [8, 128]
+    nb = nb_ref[0, 0].astype(jnp.int32)  # [8, 128]
+    c0 = carry[0]
+    W, a, tile_bits = _tile_pack(v, nb, c0, n_words, nwp)
+    carry[0] = c0 + tile_bits
+    bits_ref[0, 0, 0] = carry[0]
 
     # 5. one aligned XOR RMW per tile
     a = pl.multiple_of(a, 128)
     cur = w_ref[0, 0, pl.ds(a, WIN_T)]
     w_ref[0, 0, pl.ds(a, WIN_T)] = cur ^ W
+
+
+def _pack_bytes_kernel(
+    by_ref, tv_ref, tn_ref, hdr_ref, sc_ref, w_ref, bits_ref, carry, *, n_words, nwp
+):
+    """Fused per-symbol table lookup + bit pack.
+
+    by_ref [1,1,8,128] i32 byte tile; tv_ref/tn_ref [1,256] i32 per-block
+    codeword/width tables; hdr_ref [1,1,NWp] u32 pre-packed header arena;
+    sc_ref [1,2] SMEM (header_bits, n_valid). The token stream becomes
+    table[byte] for live positions — the whole encode path after table
+    construction runs in this one kernel, so no (value, nbits) token
+    arrays ever touch HBM.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        w_ref[...] = hdr_ref[...]
+        carry[0] = sc_ref[0, 0, 0]
+
+    by = by_ref[0, 0]  # [8, 128] i32
+    # 256-way select lookup: VPU compare+reduce, no gather, no MXU
+    sym = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 256), 2)
+    oh = by[:, :, None] == sym
+    tv = tv_ref[0][None, :, :]  # [1,1,256] i32
+    tn = tn_ref[0][None, :, :]
+    v = jnp.sum(jnp.where(oh, tv, 0), axis=2).astype(jnp.uint32)  # [8,128]
+    nb = jnp.sum(jnp.where(oh, tn, 0), axis=2)  # [8,128]
+
+    # mask tokens beyond the block's valid byte count
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    tok = t * TILE + subl * 128 + lane
+    nb = jnp.where(tok < sc_ref[0, 0, 1], nb, 0)
+
+    c0 = carry[0]
+    W, a, tile_bits = _tile_pack(v, nb, c0, n_words, nwp)
+    carry[0] = c0 + tile_bits
+    bits_ref[0, 0, 0] = carry[0]
+
+    a = pl.multiple_of(a, 128)
+    cur = w_ref[0, 0, pl.ds(a, WIN_T)]
+    w_ref[0, 0, pl.ds(a, WIN_T)] = cur ^ W
+
+
+def pack_bytes_blocks_pallas(
+    blocks,
+    n_valid,
+    table_vals,
+    table_bits,
+    hdr_words,
+    hdr_bits,
+    n_words: int,
+    interpret: bool = False,
+):
+    """Fused encode: [B, bs] u8 blocks + per-block symbol tables + packed
+    header arenas -> ([B, n_words] u32, [B] total_bits).
+
+    Equivalent to: tokens = (table_vals[b, c], table_bits[b, c]) for each
+    live byte, appended after the header bit stream, packed MSB-first
+    (io/BitOStream.hpp:79-88). hdr_words must hold the header's packed
+    words (hdr_bits bits); symbol bits continue at offset hdr_bits.
+    """
+    B, bs = blocks.shape
+    bsp = -(-bs // TILE) * TILE
+    if bsp != bs:
+        blocks = jnp.pad(blocks, ((0, 0), (0, bsp - bs)))
+    T = bsp // TILE
+    NWp = -(-n_words // 128) * 128 + WIN_T + 128
+
+    by4 = blocks.astype(jnp.int32).reshape(B, T, 8, 128)
+    hdr = jnp.zeros((B, 1, NWp), jnp.uint32)
+    hdr = hdr.at[:, 0, : hdr_words.shape[1]].set(hdr_words)
+    sc = jnp.stack(
+        [hdr_bits.astype(jnp.int32), n_valid.astype(jnp.int32)], axis=1
+    )[:, None, :]  # [B, 1, 2]
+
+    words, bits = pl.pallas_call(
+        partial(_pack_bytes_kernel, n_words=n_words, nwp=NWp),
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 8, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 256), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 256), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, NWp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 2), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, NWp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, NWp), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(
+        by4,
+        table_vals.astype(jnp.int32)[:, None, :],
+        table_bits.astype(jnp.int32)[:, None, :],
+        hdr,
+        sc,
+    )
+    return words[:, 0, :n_words], bits[:, 0, 0]
 
 
 def _pad_tokens(values, nbits):

@@ -392,16 +392,20 @@ def _encode_one_block(block, n_valid, lengths, n_words, emit_table):
     )
 
 
+_LOOKUP_CHUNK = 1 << 15  # caps the materialized one-hot at chunk*256 bytes/block
+
+
 def _sym_tokens_matmul(blocks, lengths, cw):
     """Per-symbol (code, nbits) via one-hot MXU matmul over byte columns.
 
     A 256-entry table gather per element runs at ~0.04 GB/s on TPU; the
     same lookup as onehot[bs,256] @ table[256,5] rides the MXU at ~6x
     that (etc/probe2.py). Byte columns (0..255) are exact in bfloat16;
-    f32 accumulation is exact below 2^24.
+    f32 accumulation is exact below 2^24. The bs dimension is chunked so
+    the materialized one-hot stays bounded (a full 2^21-byte block would
+    otherwise expand 256x into ~1 GiB of bf16; ADVICE r2 item 3).
     """
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
-    onehot = (blocks[:, :, None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
+    B, bs = blocks.shape
     tbl = jnp.stack(
         [
             (cw & 0xFF).astype(jnp.bfloat16),
@@ -412,9 +416,23 @@ def _sym_tokens_matmul(blocks, lengths, cw):
         ],
         axis=2,
     )  # [B, 256, 5]
-    res = jnp.einsum(
-        "bic,bcf->bif", onehot, tbl, preferred_element_type=jnp.float32
-    )
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+
+    def lookup(chunk):  # [B, c] u8 -> [B, c, 5] f32
+        onehot = (chunk[:, :, None].astype(jnp.int32) == iota).astype(
+            jnp.bfloat16
+        )
+        return jnp.einsum(
+            "bic,bcf->bif", onehot, tbl, preferred_element_type=jnp.float32
+        )
+
+    if bs <= _LOOKUP_CHUNK or bs % _LOOKUP_CHUNK != 0:
+        res = lookup(blocks)
+    else:
+        nc = bs // _LOOKUP_CHUNK
+        chunks = blocks.reshape(B, nc, _LOOKUP_CHUNK).transpose(1, 0, 2)
+        res = jax.lax.map(lookup, chunks)  # [nc, B, chunk, 5]
+        res = res.transpose(1, 0, 2, 3).reshape(B, bs, 5)
     b0 = res[..., 0].astype(jnp.uint32)
     b1 = res[..., 1].astype(jnp.uint32)
     b2 = res[..., 2].astype(jnp.uint32)
@@ -427,24 +445,54 @@ def encode_blocks_from_lengths(blocks, n_valid, lengths, n_words, emit_table=Tru
     """[B, bs] blocks + [B, 256] code lengths -> ([B, n_words] u32, [B] bits).
 
     The batched core of the encode pipeline: canonical codes (scatter-free),
-    per-symbol lookup (MXU one-hot matmul on TPU, gather elsewhere), table
-    token serialization, bit-pack.
+    per-symbol lookup (fused into the pack kernel on TPU, gather elsewhere),
+    table token serialization, bit-pack.
     """
-    B, bs = blocks.shape
     cw, numl, ordered_sym, sigma, longest = canonical_codes_batch(lengths)
     cw, numl, ordered_sym, sigma, longest, lengths = jax.lax.optimization_barrier(
         (cw, numl, ordered_sym, sigma, longest, lengths)
     )
+    return _encode_with_tables(
+        blocks, n_valid, lengths, cw, numl, ordered_sym, sigma, longest,
+        n_words, emit_table,
+    )
 
+
+def _encode_with_tables(
+    blocks, n_valid, lengths, cw, numl, ordered_sym, sigma, longest,
+    n_words, emit_table=True,
+):
+    B, bs = blocks.shape
     normal = (sigma >= 2)[:, None]
+    if jax.default_backend() == "tpu":
+        # fused path: the per-block symbol table (canonical code for normal
+        # blocks, raw 8-bit identity for degenerate ones) rides into the
+        # pack kernel, which does lookup + pack in one pass. Only the tiny
+        # header token stream (<= 521 tokens/block) goes through the
+        # generic token pack. No [B, bs] token arrays ever touch HBM.
+        from .bitpack_pallas import pack_blocks_pallas, pack_bytes_blocks_pallas
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        tbl_v = jnp.where(normal, cw.astype(jnp.int32), iota)
+        tbl_nb = jnp.where(normal, lengths, 8)
+        if emit_table:
+            tv, tb = jax.vmap(huffman_table_tokens)(
+                numl, ordered_sym, sigma, longest
+            )
+            hdr_nw = (32 * N_TABLE_TOKENS + 31) // 32
+            hdr_words, hdr_bits = pack_blocks_pallas(tv, tb, hdr_nw)
+        else:
+            hdr_words = jnp.zeros((B, 1), jnp.uint32)
+            hdr_bits = jnp.zeros((B,), jnp.int32)
+        return pack_bytes_blocks_pallas(
+            blocks, n_valid, tbl_v, tbl_nb, hdr_words, hdr_bits, n_words
+        )
+
     c = blocks.astype(jnp.int32)
     pos = jnp.arange(bs, dtype=jnp.int32)
     live = pos[None, :] < n_valid[:, None]
-    if jax.default_backend() == "tpu":
-        code, nb = _sym_tokens_matmul(blocks, lengths, cw)
-    else:
-        code = jnp.take_along_axis(cw, c, axis=1).astype(jnp.int32)
-        nb = jnp.take_along_axis(lengths, c, axis=1)
+    code = jnp.take_along_axis(cw, c, axis=1).astype(jnp.int32)
+    nb = jnp.take_along_axis(lengths, c, axis=1)
     # normal: canonical code; degenerate: raw 8-bit literal
     sym_vals = jnp.where(normal, code, c)
     sym_bits = jnp.where(live, jnp.where(normal, nb, 8), 0)
@@ -455,12 +503,6 @@ def encode_blocks_from_lengths(blocks, n_valid, lengths, n_words, emit_table=Tru
         nbits = jnp.concatenate([tb, sym_bits], axis=1)
     else:
         values, nbits = sym_vals, sym_bits
-    if jax.default_backend() == "tpu":
-        # one-pass pallas kernel: XLA scatter packs run at ~0.09 GB/s and
-        # the scan+searchsorted formulation takes >30 min to compile
-        from .bitpack_pallas import pack_blocks_pallas
-
-        return pack_blocks_pallas(values, nbits, n_words)
     return jax.vmap(lambda v, n: pack_tokens(v, n, n_words))(values, nbits)
 
 
@@ -475,14 +517,32 @@ def block_histograms(blocks, n_valid):
     B, bs = blocks.shape
     pos = jnp.arange(bs, dtype=jnp.int32)
     if jax.default_backend() == "tpu":
-        live = (pos[None, :] < n_valid[:, None]).astype(jnp.bfloat16)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
-        onehot = (blocks[:, :, None].astype(jnp.int32) == iota).astype(
-            jnp.bfloat16
-        )
-        h = jnp.einsum(
-            "bi,bic->bc", live, onehot, preferred_element_type=jnp.float32
-        )
+
+        def hist(args):  # ([B, c] u8, [B, c] bf16 live) -> [B, 256] f32
+            chunk, live = args
+            onehot = (chunk[:, :, None].astype(jnp.int32) == iota).astype(
+                jnp.bfloat16
+            )
+            return jnp.einsum(
+                "bi,bic->bc", live, onehot, preferred_element_type=jnp.float32
+            )
+
+        live = (pos[None, :] < n_valid[:, None]).astype(jnp.bfloat16)
+        if bs <= _LOOKUP_CHUNK or bs % _LOOKUP_CHUNK != 0:
+            h = hist((blocks, live))
+        else:
+            nc = bs // _LOOKUP_CHUNK
+            h = jnp.sum(
+                jax.lax.map(
+                    hist,
+                    (
+                        blocks.reshape(B, nc, _LOOKUP_CHUNK).transpose(1, 0, 2),
+                        live.reshape(B, nc, _LOOKUP_CHUNK).transpose(1, 0, 2),
+                    ),
+                ),
+                axis=0,
+            )
         return h.astype(jnp.int32)
 
     def hist_of(block, nv):
@@ -496,6 +556,20 @@ def encode_blocks_with_hists(blocks, n_valid, hists, n_words, emit_table=True):
     """Encode blocks against given per-block histograms (tables derive from
     them; pass a broadcast psum'd histogram for the shared-table mode)."""
     assert blocks.shape[1] <= MAX_BLOCK, "block too large for 32-bit code tokens"
+    if jax.default_backend() == "tpu":
+        # the whole table stage (sort + Moffat + canonical) as one Pallas
+        # program — the XLA [B,256,256] comparison-matrix chain costs
+        # ~30 ms per 64 blocks where this kernel is sub-ms
+        from .pallas_kernels import huffman_tables_pallas
+
+        hists = jax.lax.optimization_barrier(hists)
+        lengths, cw, numl, ordered_sym, sigma, longest = huffman_tables_pallas(
+            hists
+        )
+        return _encode_with_tables(
+            blocks, n_valid, lengths, cw, numl, ordered_sym, sigma, longest,
+            n_words, emit_table,
+        )
     lengths = code_lengths_batch(hists)
     return encode_blocks_from_lengths(blocks, n_valid, lengths, n_words, emit_table)
 

@@ -78,6 +78,13 @@ class Registry:
         for name in self.names(algo_type):
             cls = self.get_class(algo_type, name)
             meta = cls.meta()
+            if any(
+                d.kind == "dynamic_compressor" and d.default is None
+                for d in meta.options.values()
+            ):
+                # not statically instantiable (chain/blockwise need a
+                # runtime-dispatched compressor argument)
+                continue
             templated = [
                 d for d in meta.options.values() if d.kind == "templated"
             ]
