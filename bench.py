@@ -1,6 +1,7 @@
-"""Benchmark: block-parallel Huffman encode throughput on the local device.
+"""Benchmark: BASELINE.json configs, flagship = device Huffman block encode.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per config {"metric", "value", "unit", "vs_baseline"};
+the FLAGSHIP metric is the LAST line (the driver records the tail line).
 
 Baseline context (BASELINE.md): the reference publishes no first-party
 numbers; the repo target is >= 1 GB/s aggregate encode on a v5e-8, i.e.
@@ -41,23 +42,83 @@ def measure(result: dict) -> None:
     B, bs = 64, 1 << 18  # 16 MiB per step
     n_words = (9 * bs + 4096 + 31) // 32
 
-    rng = np.random.default_rng(0)
-    # zipf-distributed bytes: a realistic text-like skewed histogram
-    payload = rng.zipf(1.3, B * bs).clip(0, 255).astype(np.uint8)
-    blocks = jnp.asarray(payload.reshape(B, bs))
+    # three distinct inputs rule out any cross-call caching; zipf bytes are
+    # a realistic text-like skewed histogram
+    ins = []
+    for seed in range(3):
+        payload = (
+            np.random.default_rng(seed).zipf(1.3, B * bs).clip(0, 255).astype(np.uint8)
+        )
+        ins.append(jnp.asarray(payload.reshape(B, bs)))
     n_valid = jnp.full((B,), bs, jnp.int32)
 
     fn = jax.jit(lambda b, v: encode_blocks(b, v, n_words))
-    jax.block_until_ready(fn(blocks, n_valid))  # compile + warm
+    # NB: block_until_ready does not actually synchronize through the
+    # remote-TPU tunnel; a host fetch (np.asarray) is the only true sync.
+    np.asarray(fn(ins[0], n_valid)[1])  # compile + warm + sync
 
-    iters = 5
+    # pipelined throughput: enqueue a stream of batches, sync at the end —
+    # matches production use (continuous block stream per chip)
+    iters = 6
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(blocks, n_valid)
-    jax.block_until_ready(out)
+    outs = [fn(ins[i % 3], n_valid) for i in range(iters)]
+    _ = [int(np.asarray(b)[0]) for w, b in outs]
     dt = (time.perf_counter() - t0) / iters
     result["gbps"] = (B * bs) / dt / 1e9
     result["backend"] = jax.default_backend()
+
+    # secondary BASELINE.json configs: end-to-end container bytes through
+    # the public driver (host+device mix), wall-clock per config
+    if os.environ.get("TDC_BENCH_CONFIGS", "1") != "0":
+        try:
+            result["extra"] = _config_metrics()
+        except Exception:
+            pass
+
+
+def _synth_text(n: int, kind: str) -> bytes:
+    rng = np.random.default_rng(7)
+    if kind == "english":
+        words = [b"the", b"of", b"and", b"compression", b"suffix", b"text",
+                 b"entropy", b"block", b"parallel", b"data"]
+        out = bytearray()
+        while len(out) < n:
+            out += words[int(rng.integers(0, len(words)))] + b" "
+        return bytes(out[:n])
+    if kind == "dna":
+        return bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes())
+    return bytes(rng.integers(0, 256, n).astype(np.uint8).tobytes())
+
+
+def _config_metrics() -> list:
+    from tudocomp_tpu.driver import compress, decompress
+
+    metrics = []
+    cases = [
+        ("rle_mtf_huff_1MB_english", "rle:mtf:encode(huff)", "english", 1 << 20),
+        ("blockwise_lz78_bit_device", "blockwise(lz78(coder=bit), bs=4096)",
+         "english", 1 << 21),
+        ("lzss_lcp_huff_dna", "lzss_lcp(coder=huff)", "dna", 1 << 20),
+        ("esp_arith", "esp", "english", 1 << 18),
+    ]
+    for name, algo, kind, n in cases:
+        data = _synth_text(n, kind)
+        t0 = time.perf_counter()
+        c = compress(algo, data)
+        dt = time.perf_counter() - t0
+        ok = decompress(c) == data
+        gbps = n / dt / 1e9
+        metrics.append(
+            {
+                "metric": f"{name}_compress_throughput",
+                "value": round(gbps, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(gbps / 0.125, 4),
+                "ratio_pct": round(100.0 * len(c) / n, 2),
+                "roundtrip_ok": bool(ok),
+            }
+        )
+    return metrics
 
 
 def main():
@@ -90,6 +151,8 @@ def main():
             return
         result["gbps"] = 0.0
         result["backend"] = "unavailable"
+    for extra in result.get("extra", []):
+        print(json.dumps(extra))
     gbps = result["gbps"]
     suffix = "" if result.get("backend") == "tpu" else f"_{result.get('backend')}"
     print(

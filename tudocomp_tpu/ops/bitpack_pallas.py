@@ -47,6 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024  # tokens per grid step, shaped [8, 128]
 WIN_T = 1280  # aligned window per 1024-token tile (1024 words + 129 + align slack)
+# scatter window cascade per 1024-token tile: 256 covers avg code length
+# <= ~7 bits (typical text), 640 <= ~16 bits, 1280 = worst case (32-bit
+# tokens). Each tile picks the smallest window its bit span fits.
+WINDOWS = (256, 640, WIN_T)
 
 
 def _roll_down(x, k, axis):
@@ -54,13 +58,10 @@ def _roll_down(x, k, axis):
     return pltpu.roll(x, k, axis=axis)
 
 
-def _tile_pack(v, nb, c0, n_words, nwp):
-    """Pack one [8, 128] token tile starting at bit offset c0.
-
-    Returns (W [WIN_T] u32 window contribution, a window base scalar,
-    tile_bits scalar). Shared by the token kernel and the fused
-    byte-lookup kernel.
-    """
+def _tile_contrib(v, nb, c0, n_words):
+    """Steps 1-3 for one [8, 128] token tile starting at bit offset c0:
+    per-token offsets, hi/lo word contributions, keyed XOR segment
+    combine. Returns (hi_c, lo_c, w0, seg_last, tile_bits)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
@@ -117,16 +118,16 @@ def _tile_pack(v, nb, c0, n_words, nwp):
     hi_c = jnp.where(seg_last & (w0 < n_words), xs, jnp.uint32(0))
     lo_c = jnp.where(seg_last & (w0 + 1 < n_words), lo, jnp.uint32(0))
 
-    # 4. one-hot byte-plane matmul scatter into the tile's aligned window.
-    # The window base derives from the SMEM carry scalar alone (a dynamic
-    # store base computed from a vector extract crashes the Mosaic
-    # compiler; an SMEM-scalar base is fine — etc/probe7.py bisection).
-    a = ((c0 >> 5) >> 7) * 128  # 128-aligned word base of the whole tile
-    a = jnp.minimum(a, nwp - WIN_T)  # overflowed tiles: keep ds in bounds
+    return hi_c, lo_c, w0, seg_last, tile_bits
+
+
+def _scatter_window(hi_c, lo_c, w0, seg_last, a, win, n_words):
+    """Steps 4: one-hot byte-plane matmul scatter into a win-word aligned
+    window based at a. Returns the window's XOR contribution W [win]."""
     w0a = jnp.where(
         seg_last & (w0 < n_words), w0 - a, -1
-    )  # 0..1151, or -1 (no segment / dropped)
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (8, WIN_T, 128), 1)
+    )  # window-relative slot, or -1 (no segment / dropped)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (8, win, 128), 1)
     onehot = (w0a[:, None, :] == jidx).astype(jnp.bfloat16)
 
     # all 8 byte planes ride one batched matmul: rhs [8, 128tok, 128k]
@@ -150,22 +151,54 @@ def _tile_pack(v, nb, c0, n_words, nwp):
         planes,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [8, WIN_T, 128]
-    resi = jnp.sum(res, axis=0).astype(jnp.int32)  # [WIN_T, 128]
-    lanew = jax.lax.broadcasted_iota(jnp.int32, (WIN_T, 128), 1)
+    )  # [8, win, 128]
+    resi = jnp.sum(res, axis=0).astype(jnp.int32)  # [win, 128]
+    lanew = jax.lax.broadcasted_iota(jnp.int32, (win, 128), 1)
     shifted = resi << ((lanew & 3) * 8)
     hi_w = jnp.sum(
         jnp.where(lanew < 4, shifted, 0), axis=1, keepdims=True
-    )  # [WIN_T, 1]
+    )  # [win, 1]
     lo_w = jnp.sum(
         jnp.where((lanew >= 4) & (lanew < 8), shifted, 0), axis=1, keepdims=True
     )
     # lo lands one word after its token's w0
     lo_sh = jnp.concatenate(
-        [jnp.zeros((1, 1), jnp.int32), lo_w[: WIN_T - 1]], axis=0
+        [jnp.zeros((1, 1), jnp.int32), lo_w[: win - 1]], axis=0
     )
-    W = (hi_w ^ lo_sh).astype(jnp.uint32)[:, 0]  # [WIN_T]
-    return W, a, tile_bits
+    return (hi_w ^ lo_sh).astype(jnp.uint32)[:, 0]  # [win]
+
+
+def _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp):
+    """Shared tail of both kernels: contributions, carry update, and the
+    windowed scatter + XOR RMW. A 512-word fast path covers typical tiles
+    (avg code length <= ~12 bits); dense tiles fall back to the full
+    WIN_T window. The span check reads the updated carry back from SMEM —
+    scalar reads are safe where vector extracts feeding address math are
+    not (etc/probe7.py bisection).
+    """
+    c0 = carry[0]
+    hi_c, lo_c, w0, seg_last, tile_bits = _tile_contrib(v, nb, c0, n_words)
+    carry[0] = c0 + tile_bits
+    bits_ref[0, 0, 0] = carry[0]
+    a0 = ((c0 >> 5) >> 7) * 128  # 128-aligned word base of the whole tile
+    c1 = carry[0]
+    span = (c1 >> 5) + 2 - a0  # upper bound on words touched (incl. lo)
+
+    lower = 0
+    for win in WINDOWS:
+        cond = (span > lower) & (span <= win) if lower else span <= win
+        if win == WINDOWS[-1]:
+            cond = span > lower
+
+        @pl.when(cond)
+        def _(win=win):
+            a = jnp.minimum(a0, nwp - win)
+            a = pl.multiple_of(a, 128)
+            W = _scatter_window(hi_c, lo_c, w0, seg_last, a, win, n_words)
+            cur = w_ref[0, 0, pl.ds(a, win)]
+            w_ref[0, 0, pl.ds(a, win)] = cur ^ W
+
+        lower = win
 
 
 def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
@@ -178,15 +211,7 @@ def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
 
     v = v_ref[0, 0].astype(jnp.uint32)  # [8, 128]
     nb = nb_ref[0, 0].astype(jnp.int32)  # [8, 128]
-    c0 = carry[0]
-    W, a, tile_bits = _tile_pack(v, nb, c0, n_words, nwp)
-    carry[0] = c0 + tile_bits
-    bits_ref[0, 0, 0] = carry[0]
-
-    # 5. one aligned XOR RMW per tile
-    a = pl.multiple_of(a, 128)
-    cur = w_ref[0, 0, pl.ds(a, WIN_T)]
-    w_ref[0, 0, pl.ds(a, WIN_T)] = cur ^ W
+    _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp)
 
 
 def _pack_bytes_kernel(
@@ -223,14 +248,7 @@ def _pack_bytes_kernel(
     tok = t * TILE + subl * 128 + lane
     nb = jnp.where(tok < sc_ref[0, 0, 1], nb, 0)
 
-    c0 = carry[0]
-    W, a, tile_bits = _tile_pack(v, nb, c0, n_words, nwp)
-    carry[0] = c0 + tile_bits
-    bits_ref[0, 0, 0] = carry[0]
-
-    a = pl.multiple_of(a, 128)
-    cur = w_ref[0, 0, pl.ds(a, WIN_T)]
-    w_ref[0, 0, pl.ds(a, WIN_T)] = cur ^ W
+    _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp)
 
 
 def pack_bytes_blocks_pallas(
