@@ -108,18 +108,59 @@ def sha256(path):
     return h.hexdigest()
 
 
+def load_suite(path: str):
+    """Evaluate a .suite file (a Python list literal over TdcPair/ToolPair,
+    mirroring etc/compare-suites/default.suite)."""
+    scope = {"TdcPair": TdcPair, "ToolPair": ToolPair}
+    with open(path) as f:
+        exec(compile(f.read(), path, "exec"), scope)
+    suite = scope["SUITE"]
+    return [
+        p
+        for p in suite
+        if not isinstance(p, ToolPair) or shutil.which(p._c.split()[0])
+    ]
+
+
+def collect_phases(pair, src):
+    """Re-run a tdc compression with --stats and return the phase tree
+    (wall ms + memOff/memPeak/memFinal per phase — the reference's
+    malloc-override columns, tdc --stats JSON)."""
+    if not isinstance(pair, TdcPair):
+        return None
+    with tempfile.TemporaryDirectory() as td:
+        cmd = pair.compress_cmd(src, os.path.join(td, "c.bin"))
+        cmd.insert(len(cmd), "--stats")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line).get("data")
+                except json.JSONDecodeError:
+                    continue
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("files", nargs="+")
     ap.add_argument("--json", default=None)
     ap.add_argument("--filter", default="")
+    ap.add_argument("--suite", default=None, metavar="FILE.suite")
+    ap.add_argument(
+        "--phases",
+        action="store_true",
+        help="attach per-phase time+memory trees for tdc pairs (--stats)",
+    )
     args = ap.parse_args()
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     os.environ.update(env)
 
-    suite = [p for p in default_suite() if args.filter in p.name]
+    suite = load_suite(args.suite) if args.suite else default_suite()
+    suite = [p for p in suite if args.filter in p.name]
     results = []
     for path in args.files:
         size = os.path.getsize(path)
@@ -148,6 +189,8 @@ def main():
                     "rate": round(rate, 4),
                     "ok": bool(ok),
                 }
+                if args.phases:
+                    row["phases"] = collect_phases(pair, path)
                 results.append(row)
                 print(
                     f"{pair.name:38s} {ct:8.3f}s {cmem/1e6:8.1f}M {dt:8.3f}s "

@@ -85,12 +85,57 @@ SYNTHS = {
 }
 
 
+def download(dest: str, size_mb: float, only: str = "") -> int:
+    """Fetch + gunzip + prefix-cut the Pizza&Chili corpora
+    (etc/get_datasets.py / datasets_config.py:20-27 behavior). Returns the
+    number of files materialized; prints a clear notice per failure so
+    airgapped environments can fall back to --synthesize."""
+    import gzip
+    import urllib.request
+
+    os.makedirs(dest, exist_ok=True)
+    n = int(size_mb * (1 << 20))
+    got = 0
+    for name, url in PIZZA_CHILI.items():
+        if only and only not in name:
+            continue
+        path = os.path.join(dest, f"{name}.{size_mb:g}MB")
+        if os.path.exists(path):
+            print(f"{path} (cached)")
+            got += 1
+            continue
+        try:
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                raw = resp.read()
+            data = gzip.decompress(raw)[:n]
+            with open(path, "wb") as f:
+                f.write(data)
+            print(path)
+            got += 1
+        except Exception as e:  # no egress / server down
+            print(f"SKIP {name}: {type(e).__name__}: {e}", file=sys.stderr)
+    if not got:
+        print(
+            "no corpus downloaded (no network egress?) — use --synthesize "
+            "for deterministic stand-ins",
+            file=sys.stderr,
+        )
+    return got
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--synthesize", metavar="DIR", required=True)
+    ap.add_argument("--synthesize", metavar="DIR")
+    ap.add_argument("--download", metavar="DIR")
     ap.add_argument("--size", type=float, default=1.0, help="MiB per corpus")
     ap.add_argument("--only", default="")
     args = ap.parse_args()
+    if not args.synthesize and not args.download:
+        ap.error("need --synthesize DIR and/or --download DIR")
+    if args.download:
+        download(args.download, args.size, args.only)
+    if not args.synthesize:
+        return
     os.makedirs(args.synthesize, exist_ok=True)
     n = int(args.size * (1 << 20))
     rng = np.random.default_rng(0)

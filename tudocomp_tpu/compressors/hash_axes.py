@@ -3,11 +3,15 @@
 
 Mirror of util/Hash.hpp:13-354 and etc/registry_config.py:88-120: the
 reference parameterizes its hash-trie family over hasher x prober x
-size-manager (x rolling hash). In this build the native runtime's
-open-addressing trie (splitmix64 + linear probing + pow2 growth) serves
-every combination — these axes exist for id-string compatibility and
-select which ids parse; like the trie axis itself, they never affect the
-bitstream.
+size-manager (x rolling hash). The hash_function / hash_prober /
+hash_manager selections are REAL behavior: they configure the native
+runtime's parameterized open-addressing trie (ParamHashTrie in
+native/tdc_native.cpp — splitmix64/vigna/knuth/noop hashers, linear/
+quadratic/gauss/double probers, pow2/direct/prime capacity management),
+with per-parse probe counts logged to the enclosing StatPhase. As in the
+reference, the axes never affect the bitstream — only the table's probe
+behavior (tests/test_hash_axes.py). The hash_roll axis selects the id
+only (the rolling fingerprint tries share the native rolling kernel).
 """
 
 from __future__ import annotations

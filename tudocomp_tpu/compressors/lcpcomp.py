@@ -332,13 +332,28 @@ class LCPCompressor(Compressor):
             else:
                 lcp = ds.require_lcp()
         threshold = self.env.option("threshold").as_integer()
+        from ..device import use_device
+
         with StatPhase("Factorize") as ph:
             if comp_name == "heap":
                 factors = heap_factorize(sa, isa, lcp, threshold)
             elif comp_name == "max_lcp":
                 factors = maxlcp_factorize(sa, isa, lcp, threshold)
             elif comp_name == "plcppeaks":
-                factors = plcppeaks_factorize(sa, isa, plcp, threshold)
+                if len(sa) and use_device(
+                    "TDC_DEVICE_LCPCOMP", min_n=1 << 14, n=len(sa)
+                ):
+                    # device orbit-doubling walk, bit-identical factors;
+                    # the PQ strategies (arrays/heap/max_lcp) mutate LCP
+                    # after every pick and stay host-side by design
+                    from ..ops.lcpcomp_jax import plcppeaks_factorize_device
+
+                    p, s, l = plcppeaks_factorize_device(
+                        sa, isa, plcp, threshold
+                    )
+                    factors = lzss_common.Factors(p, s, l)
+                else:
+                    factors = plcppeaks_factorize(sa, isa, plcp, threshold)
             else:
                 factors = arrays_factorize(sa, isa, lcp, threshold)
             ph.log("threshold", threshold)
@@ -409,7 +424,23 @@ class LCPCompressor(Compressor):
             lens = np.array(len_l, np.uint32)
 
         with StatPhase("Decode Factors"):
+            from ..device import use_device
+
             lib = native.get_lib()
+            if n and use_device("TDC_DEVICE_LCPCOMP", min_n=1 << 14, n=n):
+                # device chain resolution: every decoder strategy yields
+                # the same bytes (the dec axis is a pointer-machine
+                # time/space trade); pointer doubling collapses all
+                # reference chains in ceil(log2 n)+1 gather rounds
+                from ..ops.lcpcomp_jax import resolve_factors_device
+
+                buffer = resolve_factors_device(buffer, tgt, srcs, lens)
+                undec = np.flatnonzero(buffer[:cursor] == 0)
+                assert (
+                    len(undec) == 0 or (len(undec) == 1 and undec[0] + 1 == n)
+                ), "undecodable lcpcomp stream"
+                out.write(buffer[:cursor])
+                return
             if dec_name == "scan":
                 if lib is not None:
                     rc = lib.tdc_lcpcomp_scan_decode(

@@ -1,8 +1,13 @@
-"""LFS2 compressor (id "lfs2", alias "lfs2bst").
+"""LFS2 compressors (ids "lfs2" and "lfs2bst").
 
-Mirror of compressors/lfs/LFS2Compressor.hpp:35-640 (and its BST variant
-LFS2BSTCompressor.hpp, which differs only in the suffix-tree backend):
-two-layer longest-first substitution over suffix-tree nodes.
+Mirror of compressors/lfs/LFS2Compressor.hpp:35-640 and its BST variant
+LFS2BSTCompressor.hpp:37-638: two-layer longest-first substitution over
+suffix-tree nodes. The variants share format and greedy substitution
+logic but differ in the suffix-tree backend — lfs2 walks the array ST
+(ds/suffix_tree.py over SA+LCP), lfs2bst the online Ukkonen
+BinarySuffixTree (ds/binary_suffix_tree.py), whose construction-order
+node binning yields different tie-breaking between equal-depth repeats
+(hence different, equally valid outputs — as in the reference).
 
   compute:  bucket internal ST nodes by string depth; from deep to
             shallow, gather each node's subtree occurrence list (merged
@@ -120,9 +125,125 @@ def lfs2_compute(text: np.ndarray, sa, lcp, min_lrf: int, exact: bool):
     return rules, first_layer_nts, fl_offsets, second_layer_nts
 
 
+def _greedy_substitute(occ, i, n, rules, first_layer_nts, fl_offsets,
+                       second_layer_nts, second_layer_dead):
+    """Shared greedy layer-substitution step (LFS2Compressor.hpp:233-330 /
+    LFS2BSTCompressor.hpp:243-305 — identical in both variants)."""
+    last = -i
+    fl_viable: list[int] = []
+    sl_viable: list[int] = []
+    for o in occ:
+        if last + i <= o:
+            if fl_offsets[o] == 0:
+                if o + i - 1 < n and fl_offsets[o + i - 1] == 0:
+                    fl_viable.append(o)
+                    last = o
+            else:
+                parent_nts = int(first_layer_nts[o - (fl_offsets[o] - 1)])
+                p_first, p_len = rules[parent_nts - 1]
+                if p_len >= fl_offsets[o] - 1 + i:
+                    sl_viable.append(o)
+    if fl_viable and len(fl_viable) + len(sl_viable) >= 2:
+        rules.append((fl_viable[0], i))
+        nts_number = len(rules)
+        for o in fl_viable:
+            first_layer_nts[o] = nts_number
+            fl_offsets[o : o + i] = np.arange(1, i + 1)
+        for o in sl_viable:
+            parent_nts = int(first_layer_nts[o - (fl_offsets[o] - 1)])
+            p_first, _p_len = rules[parent_nts - 1]
+            sl_start = p_first + int(fl_offsets[o]) - 1
+            sl_end = sl_start + i - 1
+            if not second_layer_dead[sl_start] and not second_layer_dead[sl_end]:
+                second_layer_nts[sl_start] = nts_number
+                second_layer_dead[sl_start : sl_end + 1] = True
+
+
+def lfs2bst_compute(text: np.ndarray, min_lrf: int):
+    """BST-backed LRF computation (LFS2BSTCompressor.hpp:66-310).
+
+    Structurally distinct from lfs2_compute: nodes come from the online
+    Ukkonen BinarySuffixTree, binned by string depth in construction-DFS
+    preorder and consumed LIFO, so tie-breaking between equal-depth
+    repeats follows the reference BST variant's order, not the array ST's.
+    No `exact` re-binning (the BST variant has none).
+    """
+    from ..ds.binary_suffix_tree import BinarySuffixTree
+
+    n = len(text)
+    st = BinarySuffixTree(text)
+
+    # preorder string-depth DFS (compute_string_depth :68-93)
+    bins: list[list[int]] = [[]]
+    stack = [(0, 0)]
+    order: list[tuple[int, int]] = []
+    while stack:
+        v, d = stack.pop()
+        if st.get_first_child(v) == 0:
+            continue
+        order.append((v, d))
+        # push children reversed so they pop in first->sibling order
+        children = []
+        c = st.get_first_child(v)
+        while c:
+            children.append(c)
+            c = st.get_next_sibling(c)
+        for c in reversed(children):
+            stack.append((c, d + st.get_edge_length(c)))
+    for v, d in order:
+        if d > 0:
+            while d >= len(bins):
+                bins.extend([] for _ in range(len(bins)))
+            bins[d].append(v)
+    max_d = max((d for _v, d in order), default=0)
+    bins = bins[: max_d + 1]
+
+    node_begins: dict[int, list[int]] = {}
+    first_layer_nts = np.zeros(n, np.int64)
+    fl_offsets = np.zeros(n, np.int64)
+    second_layer_nts = np.zeros(n, np.int64)
+    second_layer_dead = np.zeros(n, bool)
+    rules: list[tuple[int, int]] = []
+
+    for i in range(len(bins) - 1, min_lrf - 1, -1):
+        while bins[i]:
+            v = bins[i].pop()
+            if v not in node_begins:
+                positions: list[int] = []
+                leaf_bps: list[int] = []
+                c = st.get_first_child(v)
+                while c:
+                    if st.get_first_child(c) == 0:
+                        leaf_bps.append(st.get_suffix(c))
+                    else:
+                        child_bp = node_begins.pop(c, None)
+                        if child_bp:
+                            positions.extend(child_bp)
+                    c = st.get_next_sibling(c)
+                positions.extend(sorted(leaf_bps))
+                positions.sort()
+                node_begins[v] = positions
+            occ = node_begins[v]
+            if len(occ) < 2:
+                continue
+            if occ[-1] - occ[0] < i:
+                continue
+            _greedy_substitute(
+                occ, i, n, rules, first_layer_nts, fl_offsets,
+                second_layer_nts, second_layer_dead,
+            )
+    return rules, first_layer_nts, fl_offsets, second_layer_nts
+
+
 class LFS2Compressor(Compressor):
     ID = "lfs2"
     DOC = "lfs2 two-layer longest-first substitution"
+
+    def _compute(self, text, min_lrf, exact):
+        ds = TextDS(text)
+        return lfs2_compute(
+            text, ds.require_sa(), ds.require_lcp(), min_lrf, exact
+        )
 
     @classmethod
     def meta(cls) -> Meta:
@@ -156,9 +277,8 @@ class LFS2Compressor(Compressor):
         sl_nts = np.zeros(n, np.int64)
         if n >= min_lrf:
             with StatPhase("Computing LRF"):
-                ds = TextDS(text)
-                rules, fl_nts, fl_off, sl_nts = lfs2_compute(
-                    text, ds.require_sa(), ds.require_lcp(), min_lrf, exact
+                rules, fl_nts, fl_off, sl_nts = self._compute(
+                    text, min_lrf, exact
                 )
 
         # literal feed: unsubstituted text chars + rule literals
@@ -259,6 +379,9 @@ class LFS2Compressor(Compressor):
 class LFS2BSTCompressor(LFS2Compressor):
     ID = "lfs2bst"
     DOC = "lfs2 with binary suffix tree backend"
+
+    def _compute(self, text, min_lrf, exact):
+        return lfs2bst_compute(text, min_lrf)
 
 
 def register(registry):

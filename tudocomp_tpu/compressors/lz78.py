@@ -46,8 +46,21 @@ TRIE_KINDS = {
 }
 
 
-def lz78_parse(data: np.ndarray, trie: str = "hash") -> tuple[np.ndarray, np.ndarray]:
-    """Parse into (parents, chars) factor arrays."""
+HASH_FUNCTIONS = {"mixer": 0, "vigna": 1, "knuth": 2, "noop": 3}
+HASH_PROBERS = {"linear": 0, "quadratic": 1, "gauss": 2, "double": 3}
+HASH_MANAGERS = {"pow2": 0, "direct": 1, "prime": 2}
+
+
+def lz78_parse(
+    data: np.ndarray, trie: str = "hash", hash_axes=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parse into (parents, chars) factor arrays.
+
+    hash_axes = (hasher, prober, manager) selects the parameterized
+    open-addressing trie (util/Hash.hpp:13-305 axes); factors are
+    identical for every combination, probe counts differ and are logged
+    to the current StatPhase.
+    """
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
     if n == 0:
@@ -56,6 +69,13 @@ def lz78_parse(data: np.ndarray, trie: str = "hash") -> tuple[np.ndarray, np.nda
     if lib is not None:
         parents = np.empty(n, dtype=np.uint32)
         chars = np.empty(n, dtype=np.uint8)
+        if hash_axes is not None and hasattr(lib, "tdc_lz78_parse_hash"):
+            probes = np.zeros(1, np.uint64)
+            nf = lib.tdc_lz78_parse_hash(
+                data, n, parents, chars, *hash_axes, probes
+            )
+            StatPhase.log_current("trie_probes", int(probes[0]))
+            return parents[:nf].copy(), chars[:nf].copy()
         kind = TRIE_KINDS.get(trie, 0)
         if kind:
             nf = lib.tdc_lz78_parse_trie(data, n, parents, chars, kind)
@@ -149,11 +169,32 @@ class LZ78Compressor(Compressor):
         enc.finalize()
         return w.getvalue()
 
+    def _hash_axes(self, trie_av):
+        """Resolve the hasher/prober/manager sub-options of the hash-trie
+        family to the parameterized native trie's axis codes."""
+        if trie_av.name not in (
+            "hash", "hash_plus", "exthash", "rolling", "rolling_plus"
+        ):
+            return None
+
+        def sub(opt, table):
+            v = trie_av.options.get(opt)
+            name = getattr(v, "name", v)
+            return table.get(name, 0)
+
+        return (
+            sub("hash_function", HASH_FUNCTIONS),
+            sub("hash_prober", HASH_PROBERS),
+            sub("hash_manager", HASH_MANAGERS),
+        )
+
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
-        trie = self.env.option("lz78trie").as_algorithm().name
+        trie_av = self.env.option("lz78trie").as_algorithm()
         with StatPhase("Lz78 compression") as phase:
-            parents, chars = lz78_parse(data, trie)
+            parents, chars = lz78_parse(
+                data, trie_av.name, self._hash_axes(trie_av)
+            )
             phase.log("factor_count", len(parents))
             out.write(self._encode_factors(parents, chars))
 

@@ -64,6 +64,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_lz78_parse.argtypes = [u8p, i64, u32p, u8p]
     lib.tdc_lz78_parse_trie.restype = i64
     lib.tdc_lz78_parse_trie.argtypes = [u8p, i64, u32p, u8p, ctypes.c_int32]
+    lib.tdc_lz78_parse_hash.restype = i64
+    lib.tdc_lz78_parse_hash.argtypes = [
+        u8p,
+        i64,
+        u32p,
+        u8p,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+    ]
     lib.tdc_lzw_parse_trie.restype = i64
     lib.tdc_lzw_parse_trie.argtypes = [u8p, i64, u32p, ctypes.c_int32]
     lib.tdc_lz78_decode.restype = i64

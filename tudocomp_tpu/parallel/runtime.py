@@ -91,8 +91,17 @@ def blockwise_huffman_compress(
     dvalid = jax.device_put(n_valid, sharding)
     words, bits = jax.block_until_ready(step(dblocks, dvalid))
 
-    words = np.asarray(words)
-    bits = np.asarray(bits)
+    if jax.process_count() > 1:
+        # multi-host: the output arrays are globally sharded; gather the
+        # ordered streams to every host over DCN (deterministic block
+        # order keeps the container bit-exact for any process count)
+        from jax.experimental import multihost_utils
+
+        words = np.asarray(multihost_utils.process_allgather(words, tiled=True))
+        bits = np.asarray(multihost_utils.process_allgather(bits, tiled=True))
+    else:
+        words = np.asarray(words)
+        bits = np.asarray(bits)
     payloads = [
         finalize_stream(words[i], int(bits[i])) for i in range(n_real)
     ]
