@@ -40,8 +40,16 @@ class Input:
         self._restrictions = restrictions or InputRestrictions()
         self._escaped_cache: Optional[np.ndarray] = None
 
+    # files >= this are memory-mapped instead of read (io/MMapHandle.hpp
+    # capability: large corpora never fully materialize on the heap)
+    MMAP_THRESHOLD = 1 << 24
+
     @classmethod
     def from_path(cls, path: Union[str, os.PathLike]) -> "Input":
+        size = os.path.getsize(path)
+        if size >= cls.MMAP_THRESHOLD:
+            arr = np.memmap(path, dtype=np.uint8, mode="r")
+            return cls(np.asarray(arr))
         with open(path, "rb") as f:
             return cls(f.read())
 

@@ -45,7 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # tokens per grid step, shaped [8, 128]
+TILE = 1024  # tokens per tile, shaped [8, 128]
+UNROLL = 4  # byte tiles per grid step in the fused kernel
 WIN_T = 1280  # aligned window per 1024-token tile (1024 words + 129 + align slack)
 # scatter window cascade per 1024-token tile: 256 covers avg code length
 # <= ~7 bits (typical text), 640 <= ~16 bits, 1280 = worst case (32-bit
@@ -233,22 +234,24 @@ def _pack_bytes_kernel(
         w_ref[...] = hdr_ref[...]
         carry[0] = sc_ref[0, 0, 0]
 
-    by = by_ref[0, 0]  # [8, 128] i32
-    # 256-way select lookup: VPU compare+reduce, no gather, no MXU
+    # UNROLL tiles per grid step amortize per-step overheads (input DMA
+    # latency, loop bookkeeping); the SMEM carry checkpoints between
+    # sub-tiles keep each window base scalar-derived.
     sym = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 256), 2)
-    oh = by[:, :, None] == sym
     tv = tv_ref[0][None, :, :]  # [1,1,256] i32
     tn = tn_ref[0][None, :, :]
-    v = jnp.sum(jnp.where(oh, tv, 0), axis=2).astype(jnp.uint32)  # [8,128]
-    nb = jnp.sum(jnp.where(oh, tn, 0), axis=2)  # [8,128]
-
-    # mask tokens beyond the block's valid byte count
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    tok = t * TILE + subl * 128 + lane
-    nb = jnp.where(tok < sc_ref[0, 0, 1], nb, 0)
-
-    _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp)
+    for u in range(UNROLL):
+        by = by_ref[0, 0, u]  # [8, 128] i32
+        # 256-way select lookup: VPU compare+reduce, no gather, no MXU
+        oh = by[:, :, None] == sym
+        v = jnp.sum(jnp.where(oh, tv, 0), axis=2).astype(jnp.uint32)
+        nb = jnp.sum(jnp.where(oh, tn, 0), axis=2)  # [8,128]
+        # mask tokens beyond the block's valid byte count
+        tok = (t * UNROLL + u) * TILE + subl * 128 + lane
+        nb = jnp.where(tok < sc_ref[0, 0, 1], nb, 0)
+        _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp)
 
 
 def pack_bytes_blocks_pallas(
@@ -270,13 +273,14 @@ def pack_bytes_blocks_pallas(
     words (hdr_bits bits); symbol bits continue at offset hdr_bits.
     """
     B, bs = blocks.shape
-    bsp = -(-bs // TILE) * TILE
+    step = TILE * UNROLL
+    bsp = -(-bs // step) * step
     if bsp != bs:
         blocks = jnp.pad(blocks, ((0, 0), (0, bsp - bs)))
-    T = bsp // TILE
+    T = bsp // step
     NWp = -(-n_words // 128) * 128 + WIN_T + 128
 
-    by4 = blocks.astype(jnp.int32).reshape(B, T, 8, 128)
+    by4 = blocks.astype(jnp.int32).reshape(B, T, UNROLL, 8, 128)
     hdr = jnp.zeros((B, 1, NWp), jnp.uint32)
     hdr = hdr.at[:, 0, : hdr_words.shape[1]].set(hdr_words)
     sc = jnp.stack(
@@ -288,7 +292,9 @@ def pack_bytes_blocks_pallas(
         grid=(B, T),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 8, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, UNROLL, 8, 128),
+                lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 256), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
