@@ -51,3 +51,31 @@ def test_blockwise_lz78_device_roundtrip():
     c_host = compress("blockwise(lz78(coder=bit), bs=1024)", data)
     assert c == c_host
     assert decompress(c) == data
+
+
+@pytest.mark.parametrize("bs", [128, 512])
+def test_lzw_device_parse_parity(bs):
+    from tudocomp_tpu.compressors.lzw import lzw_parse
+    from tudocomp_tpu.ops.lz78_pallas import lzw_parse_blocks_device
+
+    blocks, n_valid = _corpus(bs)
+    res = lzw_parse_blocks_device(blocks, n_valid)
+    for b in range(len(blocks)):
+        want = lzw_parse(blocks[b, : n_valid[b]])
+        np.testing.assert_array_equal(res[b], want, err_msg=f"block {b}")
+
+
+def test_blockwise_lzw_device_roundtrip():
+    from tudocomp_tpu.driver import compress, decompress
+
+    rng = np.random.default_rng(5)
+    data = (b"wesawseashellsbytheseashore " * 150) + bytes(
+        rng.integers(0, 256, 777)
+    )
+    os.environ["TDC_DEVICE_LZ78"] = "1"
+    try:
+        c = compress("blockwise(lzw(coder=bit), bs=1024)", data)
+    finally:
+        del os.environ["TDC_DEVICE_LZ78"]
+    assert c == compress("blockwise(lzw(coder=bit), bs=1024)", data)
+    assert decompress(c) == data

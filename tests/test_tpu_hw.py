@@ -142,3 +142,35 @@ print('HUFF_PARITY_OK')
 """
     )
     assert "HUFF_PARITY_OK" in out
+
+
+def test_lz78_lzw_lockstep_parse_on_hw():
+    """The lockstep LZ78/LZW parse kernels compile and match the host
+    parse on real hardware."""
+    out = _run_on_hw(
+        """
+import numpy as np
+from tudocomp_tpu.ops.lz78_pallas import (
+    lz78_parse_blocks_device, lzw_parse_blocks_device)
+from tudocomp_tpu.compressors.lz78 import lz78_parse
+from tudocomp_tpu.compressors.lzw import lzw_parse
+
+rng = np.random.default_rng(1)
+bs = 512
+blocks = np.zeros((4, bs), np.uint8)
+blocks[0] = rng.integers(0, 256, bs)
+blocks[1] = rng.integers(97, 101, bs)
+blocks[2] = 65
+blocks[3] = np.frombuffer((b"abracadabra " * 50)[:bs], np.uint8)
+n_valid = np.array([bs, bs, bs, bs], np.int32)
+
+for b, (p, c) in enumerate(lz78_parse_blocks_device(blocks, n_valid)):
+    wp, wc = lz78_parse(blocks[b])
+    np.testing.assert_array_equal(p, wp)
+    np.testing.assert_array_equal(c, wc)
+for b, codes in enumerate(lzw_parse_blocks_device(blocks, n_valid)):
+    np.testing.assert_array_equal(codes, lzw_parse(blocks[b]))
+print('LZ_PARSE_HW_OK')
+"""
+    )
+    assert "LZ_PARSE_HW_OK" in out

@@ -116,25 +116,45 @@ class LZWCompressor(Compressor):
         m.option("dict_size").dynamic(0)
         return m
 
+    def _encode_codes(self, codes: np.ndarray) -> bytes:
+        coder_cls, coder_env = self.env.algorithm_for_option("coder")
+        w = BitWriter()
+        enc = coder_cls.Encoder(coder_env, w, NoLiterals())
+        nf = len(codes)
+        maxes = np.arange(nf, dtype=np.int64) + 256  # Range(i + 256)
+        ok = write_segmented(
+            w, enc, [(codes.astype(np.uint64), maxes, np.ones(nf, np.int64))]
+        )
+        if not ok:
+            for i in range(nf):
+                enc.encode(int(codes[i]), Range(i + 256))
+        enc.finalize()
+        return w.getvalue()
+
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
         trie = self.env.option("lz78trie").as_algorithm().name
         with StatPhase("LZW Compression") as phase:
             codes = lzw_parse(data, trie)
             phase.log("factor_count", len(codes))
-            coder_cls, coder_env = self.env.algorithm_for_option("coder")
-            w = BitWriter()
-            enc = coder_cls.Encoder(coder_env, w, NoLiterals())
-            nf = len(codes)
-            maxes = np.arange(nf, dtype=np.int64) + 256  # Range(i + 256)
-            ok = write_segmented(
-                w, enc, [(codes.astype(np.uint64), maxes, np.ones(nf, np.int64))]
-            )
-            if not ok:
-                for i in range(nf):
-                    enc.encode(int(codes[i]), Range(i + 256))
-            enc.finalize()
-        out.write(w.getvalue())
+            out.write(self._encode_codes(codes))
+
+    def compress_block_batch(self, blocks: np.ndarray, n_valid: np.ndarray):
+        """Device batch hook for the blockwise runtime (lockstep Pallas
+        parse, ops/lz78_pallas.py); None when the device path does not
+        apply."""
+        from ..device import use_device
+
+        B, bs = blocks.shape
+        if bs > 8192 or not use_device("TDC_DEVICE_LZ78"):
+            return None
+        from ..ops.lz78_pallas import lzw_parse_blocks_device
+
+        with StatPhase("device lzw parse") as ph:
+            ph.log("blocks", B)
+            code_lists = lzw_parse_blocks_device(blocks, n_valid)
+        with StatPhase("encode"):
+            return [self._encode_codes(c) for c in code_lists]
 
     def decompress(self, inp: Input, out: Output) -> None:
         coder_cls, coder_env = self.env.algorithm_for_option("coder")

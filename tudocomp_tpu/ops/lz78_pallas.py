@@ -123,6 +123,106 @@ def _lz78_parse_groups(texts, n_valid, interpret=False):
     return ekey, nf[:, 0, :]
 
 
+def _lzw_kernel(text_ref, nv_ref, ekey_ref, eid_ref, eout_ref, nf_ref):
+    """LZW variant of the lockstep parse (LZWCompressor.hpp:38-105): the
+    dictionary is pre-seeded with the 256 roots (implicit — a phrase
+    restarts at node = c, so roots never enter the scanned table); each
+    miss emits the CURRENT node id and creates node 256 + nf."""
+    bs = text_ref.shape[1]
+    nv = nv_ref[0]  # [1, 128]
+
+    ekey_ref[...] = jnp.full(ekey_ref.shape, -1, jnp.int32)
+    eid_ref[0] = jnp.zeros((bs + 8, LANES), jnp.int32)
+    eout_ref[...] = jnp.full(eout_ref.shape, -1, jnp.int32)
+
+    node0 = text_ref[0, pl.ds(0, 1), :]  # [1, 128]
+
+    def body(i, carry):
+        node, nf = carry
+        c = text_ref[0, pl.ds(i, 1), :]
+        key = node * 256 + c
+        hit = ekey_ref[0] == key
+        match = jnp.sum(jnp.where(hit, eid_ref[0], 0), axis=0, keepdims=True)
+        live = i < nv
+        found = live & (match > 0)
+        miss = live & (match == 0)
+        ekey_ref[0, pl.ds(i, 1), :] = jnp.where(miss, key, -1)
+        eid_ref[0, pl.ds(i, 1), :] = jnp.where(miss, 256 + nf, 0)
+        eout_ref[0, pl.ds(i, 1), :] = jnp.where(miss, node, -1)
+        node = jnp.where(found, match, jnp.where(miss, c, node))
+        nf = nf + miss.astype(jnp.int32)
+        return node, nf
+
+    node, nf = jax.lax.fori_loop(
+        1, bs, body, (node0, jnp.zeros((1, LANES), jnp.int32))
+    )
+    # final phrase: always emitted for non-empty blocks
+    nonempty = nv >= 1
+    eout_ref[0, pl.ds(bs, 1), :] = jnp.where(nonempty, node, -1)
+    nf = nf + nonempty.astype(jnp.int32)
+    nf_ref[0] = jnp.broadcast_to(nf, (8, LANES))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _lzw_parse_groups(texts, n_valid, interpret=False):
+    G, bs, _ = texts.shape
+    _ekey, _eid, eout, nf = pl.pallas_call(
+        _lzw_kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, shp, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            )
+            for shp in (bs + 8, bs + 8, bs + 8, 8)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((G, shp, LANES), jnp.int32)
+            for shp in (bs + 8, bs + 8, bs + 8, 8)
+        ),
+        interpret=interpret,
+    )(texts, n_valid)
+    return eout, nf[:, 0, :]
+
+
+def lzw_parse_blocks_device(blocks, n_valid=None, interpret=None):
+    """Parse B blocks on device: [B, bs] u8 -> list of LZW code arrays,
+    bit-identical to the host lzw_parse of each block."""
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    B, bs = blocks.shape
+    assert bs <= MAX_BS, "device lzw block size capped at 8 KiB"
+    if n_valid is None:
+        n_valid = np.full(B, bs, np.int32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bp = -(-B // LANES) * LANES
+    G = Bp // LANES
+    texts = np.zeros((Bp, bs), np.int32)
+    texts[:B] = blocks
+    nv = np.zeros(Bp, np.int32)
+    nv[:B] = n_valid
+    texts = texts.reshape(G, LANES, bs).transpose(0, 2, 1)
+    nvg = nv.reshape(G, 1, LANES)
+    eout, nf = _lzw_parse_groups(jnp.asarray(texts), jnp.asarray(nvg), interpret)
+    eout = np.asarray(eout)
+    nf = np.asarray(nf)
+    out = []
+    for b in range(B):
+        g, lane = divmod(b, LANES)
+        col = eout[g, :, lane]
+        codes = col[col >= 0].astype(np.uint32)
+        assert len(codes) == nf[g, lane], (b, len(codes), nf[g, lane])
+        out.append(codes)
+    return out
+
+
 def lz78_parse_blocks_device(blocks, n_valid=None, interpret=None):
     """Parse B blocks on device: [B, bs] u8 -> list of (parents, chars).
 
