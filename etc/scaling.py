@@ -43,6 +43,14 @@ def main():
         ).strip()
 
     import jax
+
+    if args.cpu:
+        # env vars alone can't undo a sitecustomize-registered remote-TPU
+        # plugin; force the platform before backends initialize
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -64,11 +72,13 @@ def main():
         step = make_block_encoder(mesh, n_words, shared_table=args.shared)
         db = jax.device_put(blocks, NamedSharding(mesh, P("dp", None)))
         dv = jax.device_put(n_valid, NamedSharding(mesh, P("dp")))
-        jax.block_until_ready(step(db, dv))  # compile + warm
+        # NB: block_until_ready does not synchronize through remote-TPU
+        # tunnels; a host fetch is the only true sync
+        np.asarray(step(db, dv)[1])  # compile + warm + sync
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = step(db, dv)
-        jax.block_until_ready(out)
+        outs = [step(db, dv) for _ in range(args.iters)]
+        for _w, bits in outs:
+            np.asarray(bits[:1])
         dt = (time.perf_counter() - t0) / args.iters
         gbps = n / dt / 1e9
         results.append({"devices": d, "gbps": round(gbps, 4)})

@@ -139,3 +139,31 @@ def test_binary_suffix_tree_structure():
 
     walk(0, 0)
     assert sorted(seen) == list(range(7))
+
+
+def test_naiv_st_matches_binary_st_leaf_set():
+    """NaivST (per-suffix insertion) and the Ukkonen BST agree on the
+    suffix set and on substring-occurrence structure."""
+    import numpy as np
+
+    from tudocomp_tpu.ds.naiv_st import NaivST
+
+    for text in (b"banana\0", b"mississippi\0", b"aaaa\0", b"ab\0"):
+        t = np.frombuffer(text, np.uint8)
+        st = NaivST(t)
+        leaves = []
+
+        def walk(v):
+            ch = st.child_list(v)
+            if not ch and v != 0:
+                leaves.append(st.get_suffix(v))
+                return
+            for c in ch:
+                walk(c)
+
+        walk(0)
+        assert sorted(leaves) == list(range(len(t))), text
+        # string depth of a leaf == suffix length
+        for v in range(1, st.get_tree_size()):
+            if not st.children[v]:
+                assert st.string_depth(v) == len(t) - st.get_suffix(v)
