@@ -72,8 +72,16 @@ def measure(result: dict) -> None:
     if os.environ.get("TDC_BENCH_CONFIGS", "1") != "0":
         try:
             result["extra"] = _config_metrics()
-        except Exception:
-            pass
+        except Exception as e:  # surface the breakage instead of hiding it
+            result["extra"] = [
+                {
+                    "metric": "config_metrics_error",
+                    "value": 0,
+                    "unit": "error",
+                    "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            ]
 
 
 def _synth_text(n: int, kind: str) -> bytes:

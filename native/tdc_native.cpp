@@ -145,14 +145,19 @@ struct ParamHashTrie {
     }
 
     inline size_t step(uint64_t h, uint64_t i) const {
+        // past cap probes, fall back to a linear sweep: gauss offsets mod a
+        // composite capacity cover only a subset of slots and a double-hash
+        // stride can share a factor with a "direct" capacity — the sweep
+        // guarantees termination at load factor < 1
+        if (i >= cap) return reduce(h + i);
         switch (prober) {
-            case 1: return reduce(h + i);                      // quadratic (+i per probe)
+            case 1: return reduce(h + i * i);                  // quadratic
             case 2: return reduce(h + (i * i + i) / 2);        // gauss
             case 3: {                                          // double hashing
                 uint64_t h2 = hash(h ^ 0x5bf03635ULL) | 1;     // odd stride
                 return reduce(h + i * h2);
             }
-            default: return reduce(h + i);                     // linear handled by caller i
+            default: return reduce(h + i);                     // linear
         }
     }
 

@@ -11,10 +11,11 @@ import os
 # snapshot the originals so TPU-hardware tests (tests/test_tpu_hw.py) can
 # spawn subprocesses with the real accelerator backend restored
 os.environ.setdefault(
-    "TDC_ORIG_PALLAS_AXON_POOL_IPS", os.environ.get("PALLAS_AXON_POOL_IPS", "\x00")
+    "TDC_ORIG_PALLAS_AXON_POOL_IPS",
+    os.environ.get("PALLAS_AXON_POOL_IPS", "__TDC_UNSET__"),
 )
 os.environ.setdefault(
-    "TDC_ORIG_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", "\x00")
+    "TDC_ORIG_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", "__TDC_UNSET__")
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""

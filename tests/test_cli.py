@@ -139,3 +139,28 @@ def test_generators_library():
     assert all(ord("0") <= c <= ord("9") for c in s)
     s2 = random_uniform(50, seed=1, lo=ord("a"), hi=ord("c"))
     assert all(ord("a") <= c <= ord("c") for c in s2)
+
+
+def test_stats_include_memory_columns(tmp_path):
+    """--stats runs carry the malloc-override parity columns (VERDICT r2
+    item 7: per-phase memOff/memPeak on by default for stats output)."""
+    import json
+    import subprocess
+    import sys
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"memory column check " * 500)
+    proc = subprocess.run(
+        [sys.executable, "-m", "tudocomp_tpu", "-a", "encode(huff)",
+         str(src), "-o", str(tmp_path / "out.tdc"), "-f", "--stats"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    doc = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    root = doc["data"]
+    assert {"memOff", "memPeak", "memFinal"} <= set(root)
+    assert root["memPeak"] > 0

@@ -8,8 +8,17 @@ memFinal columns (include/tudocomp_stat/PhaseData.hpp:66-111).
 import json
 
 import numpy as np
+import pytest
 
 from tudocomp_tpu.stats.phase import StatPhase
+
+
+@pytest.fixture(autouse=True)
+def _track_memory():
+    old = StatPhase.track_memory
+    StatPhase.track_memory = True
+    yield
+    StatPhase.track_memory = old
 
 
 def test_phase_tree_and_stats():

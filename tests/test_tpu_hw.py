@@ -28,8 +28,8 @@ pytestmark = pytest.mark.skipif(
 def _hw_env():
     env = dict(os.environ)
     for var in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS"):
-        orig = env.pop("TDC_ORIG_" + var, "\x00")
-        if orig == "\x00":
+        orig = env.pop("TDC_ORIG_" + var, "__TDC_UNSET__")
+        if orig == "__TDC_UNSET__":
             env.pop(var, None)
         else:
             env[var] = orig

@@ -72,6 +72,11 @@ def main(argv=None) -> int:
     from .driver import compress as do_compress_fn, decompress as do_decompress_fn
     from .stats.phase import StatPhase
 
+    if args.stats is not None and os.environ.get("TDC_TRACK_MEM") != "0":
+        # --stats implies per-phase heap columns (reference malloc-override
+        # parity); library users opt in via TDC_TRACK_MEM=1
+        StatPhase.track_memory = True
+
     if args.list:
         print("This build supports the following algorithms:")
         print()

@@ -341,7 +341,7 @@ class LCPCompressor(Compressor):
                 factors = maxlcp_factorize(sa, isa, lcp, threshold)
             elif comp_name == "plcppeaks":
                 if len(sa) and use_device(
-                    "TDC_DEVICE_LCPCOMP", min_n=1 << 14, n=len(sa)
+                    "TDC_DEVICE_LCPCOMP", min_n=1 << 22, n=len(sa)
                 ):
                     # device orbit-doubling walk, bit-identical factors;
                     # the PQ strategies (arrays/heap/max_lcp) mutate LCP
@@ -427,7 +427,7 @@ class LCPCompressor(Compressor):
             from ..device import use_device
 
             lib = native.get_lib()
-            if n and use_device("TDC_DEVICE_LCPCOMP", min_n=1 << 14, n=n):
+            if n and use_device("TDC_DEVICE_LCPCOMP", min_n=1 << 22, n=n):
                 # device chain resolution: every decoder strategy yields
                 # the same bytes (the dec axis is a pointer-machine
                 # time/space trade); pointer doubling collapses all

@@ -20,9 +20,6 @@ node binning yields different tie-breaking between equal-depth repeats
   encode:   delta-chained rule lengths (len coder); rules encoded
             backwards as bit-flagged (literal | second-layer rule) items;
             then the start string as bit-flagged (literal | rule) items.
-The sdsl cst is replaced by ds/suffix_tree.py. (The reference's ST node
-iteration order — hence tie-breaking between equal-depth nodes — is
-backend-specific; this build uses its own deterministic node order.)
 """
 
 from __future__ import annotations
@@ -91,36 +88,10 @@ def lfs2_compute(text: np.ndarray, sa, lcp, min_lrf: int, exact: bool):
                     if pd < min_shorter:
                         bins[min_shorter].append(v)
                 continue
-            last = -i
-            fl_viable: list[int] = []
-            sl_viable: list[int] = []
-            for o in occ:
-                if last + i <= o:
-                    if fl_offsets[o] == 0:
-                        if o + i - 1 < n and fl_offsets[o + i - 1] == 0:
-                            fl_viable.append(o)
-                            last = o
-                    else:
-                        parent_nts = int(
-                            first_layer_nts[o - (fl_offsets[o] - 1)]
-                        )
-                        p_first, p_len = rules[parent_nts - 1]
-                        if p_len >= fl_offsets[o] - 1 + i:
-                            sl_viable.append(o)
-            if fl_viable and len(fl_viable) + len(sl_viable) >= 2:
-                rules.append((fl_viable[0], i))
-                nts_number = len(rules)
-                for o in fl_viable:
-                    first_layer_nts[o] = nts_number
-                    fl_offsets[o : o + i] = np.arange(1, i + 1)
-                for o in sl_viable:
-                    parent_nts = int(first_layer_nts[o - (fl_offsets[o] - 1)])
-                    p_first, _p_len = rules[parent_nts - 1]
-                    sl_start = p_first + int(fl_offsets[o]) - 1
-                    sl_end = sl_start + i - 1
-                    if not second_layer_dead[sl_start] and not second_layer_dead[sl_end]:
-                        second_layer_nts[sl_start] = nts_number
-                        second_layer_dead[sl_start : sl_end + 1] = True
+            _greedy_substitute(
+                occ, i, n, rules, first_layer_nts, fl_offsets,
+                second_layer_nts, second_layer_dead,
+            )
 
     return rules, first_layer_nts, fl_offsets, second_layer_nts
 

@@ -172,9 +172,9 @@ class LZ78Compressor(Compressor):
     def _hash_axes(self, trie_av):
         """Resolve the hasher/prober/manager sub-options of the hash-trie
         family to the parameterized native trie's axis codes."""
-        if trie_av.name not in (
-            "hash", "hash_plus", "exthash", "rolling", "rolling_plus"
-        ):
+        if trie_av.name not in ("hash", "hash_plus"):
+            # exthash/rolling(_plus) select their dedicated native kernels
+            # (separate chaining / rolling fingerprints) via TRIE_KINDS
             return None
 
         def sub(opt, table):

@@ -12,8 +12,6 @@ literal feed, so entropy coders see exactly the reference's TextLiterals.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from ..base import Compressor
@@ -31,7 +29,7 @@ def lcp_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
     n = len(sa)
     from ..device import use_device
 
-    if n and use_device("TDC_DEVICE_LZSS", min_n=1 << 14, n=n):
+    if n and use_device("TDC_DEVICE_LZSS", min_n=1 << 22, n=n):
         # device factorization: parallel ANSV + orbit-doubling greedy parse
         # (ops/lzss_jax.py); bit-identical factors to the native path;
         # default on TPU, opt-out TDC_DEVICE_LZSS=0

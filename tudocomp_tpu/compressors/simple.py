@@ -54,7 +54,7 @@ def rle_encode(data: np.ndarray, offset: int = 0) -> np.ndarray:
         return data
     from ..device import use_device
 
-    if use_device("TDC_DEVICE_RLE", min_n=1 << 16, n=n):
+    if use_device("TDC_DEVICE_RLE", min_n=1 << 22, n=n):
         import jax.numpy as jnp
 
         from ..ops.transforms import rle_runs_device
@@ -166,7 +166,7 @@ def mtf_encode(data: np.ndarray) -> np.ndarray:
 
     data = np.ascontiguousarray(data, np.uint8)
     n = len(data)
-    if use_device("TDC_DEVICE_MTF", min_n=1 << 16, n=n):
+    if use_device("TDC_DEVICE_MTF", min_n=1 << 22, n=n):
         import jax.numpy as jnp
 
         from ..ops.transforms import mtf_encode_device

@@ -14,7 +14,6 @@ sentinel, as guaranteed by Meta.uses_textds input restrictions.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np
@@ -64,7 +63,7 @@ class TextDS:
                 n = len(self.text)
                 from ..device import use_device
 
-                if n and use_device("TDC_DEVICE_SA", min_n=1 << 14, n=n):
+                if n and use_device("TDC_DEVICE_SA", min_n=1 << 22, n=n):
                     # device prefix-doubling SA (radix two-key sorts under
                     # a while_loop); default on TPU, opt-out TDC_DEVICE_SA=0
                     from .suffix_array import suffix_array_jax

@@ -392,53 +392,7 @@ def _encode_one_block(block, n_valid, lengths, n_words, emit_table):
     )
 
 
-_LOOKUP_CHUNK = 1 << 15  # caps the materialized one-hot at chunk*256 bytes/block
-
-
-def _sym_tokens_matmul(blocks, lengths, cw):
-    """Per-symbol (code, nbits) via one-hot MXU matmul over byte columns.
-
-    A 256-entry table gather per element runs at ~0.04 GB/s on TPU; the
-    same lookup as onehot[bs,256] @ table[256,5] rides the MXU at ~6x
-    that (etc/probe2.py). Byte columns (0..255) are exact in bfloat16;
-    f32 accumulation is exact below 2^24. The bs dimension is chunked so
-    the materialized one-hot stays bounded (a full 2^21-byte block would
-    otherwise expand 256x into ~1 GiB of bf16; ADVICE r2 item 3).
-    """
-    B, bs = blocks.shape
-    tbl = jnp.stack(
-        [
-            (cw & 0xFF).astype(jnp.bfloat16),
-            ((cw >> 8) & 0xFF).astype(jnp.bfloat16),
-            ((cw >> 16) & 0xFF).astype(jnp.bfloat16),
-            ((cw >> 24) & 0xFF).astype(jnp.bfloat16),
-            lengths.astype(jnp.bfloat16),
-        ],
-        axis=2,
-    )  # [B, 256, 5]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
-
-    def lookup(chunk):  # [B, c] u8 -> [B, c, 5] f32
-        onehot = (chunk[:, :, None].astype(jnp.int32) == iota).astype(
-            jnp.bfloat16
-        )
-        return jnp.einsum(
-            "bic,bcf->bif", onehot, tbl, preferred_element_type=jnp.float32
-        )
-
-    if bs <= _LOOKUP_CHUNK or bs % _LOOKUP_CHUNK != 0:
-        res = lookup(blocks)
-    else:
-        nc = bs // _LOOKUP_CHUNK
-        chunks = blocks.reshape(B, nc, _LOOKUP_CHUNK).transpose(1, 0, 2)
-        res = jax.lax.map(lookup, chunks)  # [nc, B, chunk, 5]
-        res = res.transpose(1, 0, 2, 3).reshape(B, bs, 5)
-    b0 = res[..., 0].astype(jnp.uint32)
-    b1 = res[..., 1].astype(jnp.uint32)
-    b2 = res[..., 2].astype(jnp.uint32)
-    b3 = res[..., 3].astype(jnp.uint32)
-    code = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-    return code.astype(jnp.int32), res[..., 4].astype(jnp.int32)
+_LOOKUP_CHUNK = 1 << 15  # caps materialized one-hots at chunk*256 bytes/block
 
 
 def encode_blocks_from_lengths(blocks, n_valid, lengths, n_words, emit_table=True):
@@ -529,10 +483,15 @@ def block_histograms(blocks, n_valid):
             )
 
         live = (pos[None, :] < n_valid[:, None]).astype(jnp.bfloat16)
-        if bs <= _LOOKUP_CHUNK or bs % _LOOKUP_CHUNK != 0:
+        if bs <= _LOOKUP_CHUNK:
             h = hist((blocks, live))
         else:
-            nc = bs // _LOOKUP_CHUNK
+            bsp = -(-bs // _LOOKUP_CHUNK) * _LOOKUP_CHUNK
+            if bsp != bs:
+                # pad to a chunk multiple; the padded tail is dead (live=0)
+                blocks = jnp.pad(blocks, ((0, 0), (0, bsp - bs)))
+                live = jnp.pad(live, ((0, 0), (0, bsp - bs)))
+            nc = bsp // _LOOKUP_CHUNK
             h = jnp.sum(
                 jax.lax.map(
                     hist,

@@ -8,8 +8,10 @@ Charter web app (www/charter/).
 Memory parity (src/tudocomp_stat/malloc.cpp:24-84 gives the reference
 per-phase heap off/current/peak via a malloc override): the rebuild tracks
 host heap with tracemalloc — numpy routes its buffer allocations through
-PyTraceMalloc, so array workloads are fully visible — and is ON by default,
-like the reference's always-linked override. Nested phases propagate their
+PyTraceMalloc, so array workloads are fully visible. The CLI enables it
+for every --stats run (so the stats JSON always carries the memory
+columns); plain runs skip it because tracemalloc, unlike the reference's
+near-free C override, taxes every allocation. Nested phases propagate their
 absolute peak to ancestors so a parent's memPeak covers its children even
 though tracemalloc has a single global peak counter. Device memory
 (jax device.memory_stats(), an RPC on tunneled setups) is opt-in via
@@ -62,9 +64,12 @@ def _ensure_tracing() -> bool:
 class StatPhase:
     """Nested timing phase. Use as context manager or via StatPhase.wrap."""
 
-    # host-heap tracking on by default (parity with the reference's
-    # always-on malloc override); disable with TDC_TRACK_MEM=0
-    track_memory = os.environ.get("TDC_TRACK_MEM", "1") != "0"
+    # host-heap tracking: enabled whenever stats are actually consumed
+    # (the CLI turns it on for --stats runs; force with TDC_TRACK_MEM=1,
+    # forbid with =0). Unlike the reference's near-free C malloc override,
+    # tracemalloc taxes every allocation, so library use without stats
+    # stays untracked by default.
+    track_memory = os.environ.get("TDC_TRACK_MEM", "0") == "1"
     track_device_memory = os.environ.get("TDC_DEVICE_MEMSTATS") == "1"
 
     def __init__(self, title: str):
