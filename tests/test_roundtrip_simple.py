@@ -83,3 +83,27 @@ def test_header_format():
 
     comp = driver.compress("rle", b"aaa")
     assert comp.startswith(b"rle%")
+
+
+def test_blockwise_host_pool_parity_and_restricted_inner():
+    """blockwise(<inner>) host path: process-pool output is byte-identical
+    to sequential, and restriction-needing inners (bwt's sentinel) are
+    escaped per block on both sides."""
+    import os
+
+    import numpy as np
+
+    from tudocomp_tpu.driver import compress, decompress
+
+    rng = np.random.default_rng(0)
+    data = (b"pool parity " * 3000) + bytes(rng.integers(1, 255, 9000))
+    c = compress("blockwise(bwt, bs=4096)", data)
+    assert decompress(c) == data
+    os.environ["TDC_BLOCKWISE_PROCS"] = "0"
+    try:
+        c_seq = compress("blockwise(rle:mtf, bs=4096)", data)
+    finally:
+        del os.environ["TDC_BLOCKWISE_PROCS"]
+    c_par = compress("blockwise(rle:mtf, bs=4096)", data)
+    assert c_par == c_seq
+    assert decompress(c_par) == data

@@ -14,6 +14,8 @@ output bytes are identical for any device count.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..base import Compressor
@@ -30,6 +32,42 @@ def _device_available() -> bool:
         return len(jax.devices()) > 0
     except Exception:
         return False
+
+
+def _compress_one(args):
+    inner_id, block = args
+    from ..driver import compress
+
+    return compress(inner_id, block, raw=True)
+
+
+def _host_compress_blocks(inner_id: str, blocks, n_valid) -> list:
+    """Per-block host compression; blocks are independent, so inners
+    without a device batch hook fan out over a process pool (the host
+    analogue of the DP runtime; disable with TDC_BLOCKWISE_PROCS=0 or
+    force a count with =N)."""
+    from ..driver import compress
+
+    nb = len(blocks)
+    procs_env = os.environ.get("TDC_BLOCKWISE_PROCS", "")
+    if procs_env == "0" or nb < 8:
+        return [
+            compress(inner_id, bytes(blocks[i, : n_valid[i]]), raw=True)
+            for i in range(nb)
+        ]
+    import concurrent.futures as cf
+
+    workers = int(procs_env) if procs_env else min(8, os.cpu_count() or 1)
+    payload = [(inner_id, bytes(blocks[i, : n_valid[i]])) for i in range(nb)]
+    try:
+        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            return list(ex.map(_compress_one, payload, chunksize=4))
+    except Exception:
+        # pickling/fork limits: fall back to the sequential path
+        return [
+            compress(inner_id, bytes(blocks[i, : n_valid[i]]), raw=True)
+            for i in range(nb)
+        ]
 
 
 class BlockwiseCompressor(Compressor):
@@ -65,12 +103,9 @@ class BlockwiseCompressor(Compressor):
             if payloads is not None:
                 out.write(frame_streams(payloads, bs))
                 return
-        with StatPhase("host blockwise encode"):
-            payloads = []
-            for i in range(len(blocks)):
-                o = Output()
-                comp.compress(Input(blocks[i, : n_valid[i]]), o)
-                payloads.append(o.raw_value())
+        with StatPhase("host blockwise encode") as ph:
+            payloads = _host_compress_blocks(av.id_string(), blocks, n_valid)
+            ph.log("blocks", len(blocks))
             out.write(frame_streams(payloads, bs))
 
     def decompress(self, inp: Input, out: Output) -> None:
@@ -88,8 +123,19 @@ class BlockwiseCompressor(Compressor):
                     out.write(np.frombuffer(part, np.uint8))
                 return
         with StatPhase("blockwise decode"):
+            # symmetric with the per-block driver.compress(raw=True) on the
+            # encode side: inner restriction wrapping (escaping/sentinel)
+            # is applied per block
+            from ..driver import decompress as driver_decompress
+
+            inner_id = av.id_string()
             for p in payloads:
-                comp.decompress(Input(np.frombuffer(p, np.uint8)), out)
+                out.write(
+                    np.frombuffer(
+                        driver_decompress(p, id_string=inner_id, raw=True),
+                        np.uint8,
+                    )
+                )
 
 
 def register(registry):
