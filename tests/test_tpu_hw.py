@@ -174,3 +174,23 @@ print('LZ_PARSE_HW_OK')
 """
     )
     assert "LZ_PARSE_HW_OK" in out
+
+
+def test_blockwise_roundtrip_device_decode_on_hw():
+    """Full blockwise container: device encode -> device decode roundtrip
+    on the real accelerator (jump-table + pointer-doubling decode)."""
+    out = _run_on_hw(
+        """
+import numpy as np
+from tudocomp_tpu.parallel.runtime import (
+    blockwise_huffman_compress, blockwise_huffman_decompress)
+
+rng = np.random.default_rng(2)
+data = rng.zipf(1.3, 200000).clip(0, 255).astype(np.uint8).tobytes()
+c = blockwise_huffman_compress(data, block_size=16384)
+d = blockwise_huffman_decompress(c, device=True)
+assert d == data, (len(d), len(data))
+print('BLOCKWISE_HW_ROUNDTRIP_OK')
+"""
+    )
+    assert "BLOCKWISE_HW_ROUNDTRIP_OK" in out
