@@ -67,13 +67,48 @@ def measure(result: dict) -> None:
     result["gbps"] = (B * bs) / dt / 1e9
     result["backend"] = jax.default_backend()
 
+    # device decode throughput (jump table + pointer doubling), pipelined
+    # with true syncs like the encode metric
+    try:
+        from tudocomp_tpu.parallel.blocks import unframe_streams
+        from tudocomp_tpu.parallel.runtime import blockwise_huffman_compress
+        from tudocomp_tpu.ops.huffman_decode import decode_payloads_device
+
+        dec_bs = 1 << 16
+        raw = np.asarray(ins[0]).reshape(-1)[: 1 << 22].tobytes()  # 4 MiB
+        container = blockwise_huffman_compress(raw, block_size=dec_bs)
+        _, payloads = unframe_streams(container)
+        parts = decode_payloads_device(payloads, max_out=dec_bs)  # warm
+        assert b"".join(parts) == raw
+        t0 = time.perf_counter()
+        parts = decode_payloads_device(payloads, max_out=dec_bs)
+        dt = time.perf_counter() - t0
+        result.setdefault("extra", []).append(
+            {
+                "metric": "huffman_block_decode_throughput",
+                "value": round(len(raw) / dt / 1e9, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(len(raw) / dt / 1e9 / 0.125, 4),
+            }
+        )
+    except Exception as e:
+        result.setdefault("extra", []).append(
+            {
+                "metric": "huffman_block_decode_error",
+                "value": 0,
+                "unit": "error",
+                "vs_baseline": 0,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }
+        )
+
     # secondary BASELINE.json configs: end-to-end container bytes through
     # the public driver (host+device mix), wall-clock per config
     if os.environ.get("TDC_BENCH_CONFIGS", "1") != "0":
         try:
-            result["extra"] = _config_metrics()
+            result.setdefault("extra", []).extend(_config_metrics())
         except Exception as e:  # surface the breakage instead of hiding it
-            result["extra"] = [
+            result.setdefault("extra", []).append(
                 {
                     "metric": "config_metrics_error",
                     "value": 0,
@@ -81,7 +116,7 @@ def measure(result: dict) -> None:
                     "vs_baseline": 0,
                     "error": f"{type(e).__name__}: {e}"[:300],
                 }
-            ]
+            )
 
 
 def _synth_text(n: int, kind: str) -> bytes:
