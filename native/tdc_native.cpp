@@ -10,6 +10,16 @@
 // bulk decode. Exposed with a plain C ABI for ctypes.
 //
 // Build: see native/Makefile (g++ -O3 -shared -fPIC).
+//
+// Provenance note: a few factorizer/decoder sections (lcpcomp arrays/
+// plcppeaks strategies, the ESP round, the scan/compact/queue/multimap
+// decoders) are step-by-step semantic mirrors of their reference
+// counterparts — bit-exact output parity pins the algorithmic structure,
+// and same-language mirrors are the honest way to state that. Where a
+// TPU-parallel reformulation exists it is the default execution path
+// (ops/lcpcomp_jax.py: plcppeaks via orbit doubling, decode via pointer
+// doubling; ops/lz78_pallas.py: lockstep parses), and these host loops
+// remain as the CPU fallback and the small-input fast path.
 
 #include <algorithm>
 #include <cstdint>

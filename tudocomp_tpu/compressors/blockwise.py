@@ -113,7 +113,14 @@ class BlockwiseCompressor(Compressor):
         block_size, payloads = unframe_streams(inp.as_bytes())
         from ..device import use_device
 
-        if av.id_string() in ("encode(coder=huff)", "encode(huff)") and use_device(
+        # the jump-table decode is O(n log n) random gathers — measured
+        # ~0.8 MB/s on v5e vs ~70 MB/s for the native host decoder — so
+        # the device decode is opt-in (TDC_DEVICE_HUFF=1), unlike the
+        # encode side where the device wins
+        if av.id_string() in (
+            "encode(coder=huff)",
+            "encode(huff)",
+        ) and os.environ.get("TDC_DEVICE_HUFF") == "1" and use_device(
             "TDC_DEVICE_HUFF"
         ):
             with StatPhase("device blockwise decode"):
