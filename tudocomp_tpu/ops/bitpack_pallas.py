@@ -59,14 +59,14 @@ def _roll_down(x, k, axis):
     return pltpu.roll(x, k, axis=axis)
 
 
-def _tile_contrib(v, nb, c0, n_words):
-    """Steps 1-3 for one [8, 128] token tile starting at bit offset c0:
-    per-token offsets, hi/lo word contributions, keyed XOR segment
-    combine. Returns (hi_c, lo_c, w0, seg_last, tile_bits)."""
+def _tile_scan(nb):
+    """Step 1 (carry-independent): inclusive sum-scan of nb in flat
+    (row-major) token order. Returns (incl [8,128], rsum [8,128]); the
+    tile's total bits are rsum[7, *]. Kept separate from the offset-
+    dependent steps so unrolled sub-tiles expose independent roll chains
+    (the kernel's cost is latency-bound, see PERF.md)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-
-    # 1. inclusive sum-scan of nb in flat (row-major) token order
     x = nb
     for k in (1, 2, 4, 8, 16, 32, 64):
         x = x + jnp.where(lane >= k, _roll_down(x, k, 1), 0)
@@ -75,7 +75,17 @@ def _tile_contrib(v, nb, c0, n_words):
     for k in (1, 2, 4):
         rsum = rsum + jnp.where(subl >= k, _roll_down(rsum, k, 0), 0)
     row_base = rsum - row_tot  # exclusive row prefix, broadcast over lanes
-    incl = x + row_base
+    return x + row_base, rsum
+
+
+def _tile_contrib(v, nb, c0, n_words, incl=None, rsum=None):
+    """Steps 1-3 for one [8, 128] token tile starting at bit offset c0:
+    per-token offsets, hi/lo word contributions, keyed XOR segment
+    combine. Returns (hi_c, lo_c, w0, seg_last, tile_bits). Pass a
+    precomputed (incl, rsum) from _tile_scan to skip step 1."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    if incl is None:
+        incl, rsum = _tile_scan(nb)
     off = c0 + incl - nb  # global exclusive bit offset per token
     tile_bits = rsum[7, 0]  # rsum[7, *] = tile total bits
 
@@ -169,7 +179,7 @@ def _scatter_window(hi_c, lo_c, w0, seg_last, a, win, n_words):
     return (hi_w ^ lo_sh).astype(jnp.uint32)[:, 0]  # [win]
 
 
-def _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp):
+def _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp, incl=None, rsum=None):
     """Shared tail of both kernels: contributions, carry update, and the
     windowed scatter + XOR RMW. A 512-word fast path covers typical tiles
     (avg code length <= ~12 bits); dense tiles fall back to the full
@@ -178,7 +188,9 @@ def _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp):
     not (etc/probe7.py bisection).
     """
     c0 = carry[0]
-    hi_c, lo_c, w0, seg_last, tile_bits = _tile_contrib(v, nb, c0, n_words)
+    hi_c, lo_c, w0, seg_last, tile_bits = _tile_contrib(
+        v, nb, c0, n_words, incl, rsum
+    )
     carry[0] = c0 + tile_bits
     bits_ref[0, 0, 0] = carry[0]
     a0 = ((c0 >> 5) >> 7) * 128  # 128-aligned word base of the whole tile
@@ -242,6 +254,9 @@ def _pack_bytes_kernel(
     tn = tn_ref[0][None, :, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    # phase A: lookups + nb prefix scans for all sub-tiles — independent
+    # of the SMEM carry, so their roll chains can overlap
+    pre = []
     for u in range(UNROLL):
         by = by_ref[0, 0, u]  # [8, 128] i32
         # 256-way select lookup: VPU compare+reduce, no gather, no MXU
@@ -251,7 +266,11 @@ def _pack_bytes_kernel(
         # mask tokens beyond the block's valid byte count
         tok = (t * UNROLL + u) * TILE + subl * 128 + lane
         nb = jnp.where(tok < sc_ref[0, 0, 1], nb, 0)
-        _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp)
+        incl, rsum = _tile_scan(nb)
+        pre.append((v, nb, incl, rsum))
+    # phase B: carry-chained contributions + scatter per sub-tile
+    for v, nb, incl, rsum in pre:
+        _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp, incl, rsum)
 
 
 def pack_bytes_blocks_pallas(
