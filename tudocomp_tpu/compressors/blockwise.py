@@ -56,14 +56,22 @@ def _host_compress_blocks(inner_id: str, blocks, n_valid) -> list:
             for i in range(nb)
         ]
     import concurrent.futures as cf
+    import multiprocessing as mp
 
-    workers = int(procs_env) if procs_env else min(8, os.cpu_count() or 1)
+    try:
+        workers = int(procs_env) if procs_env else min(8, os.cpu_count() or 1)
+    except ValueError:
+        workers = min(8, os.cpu_count() or 1)
     payload = [(inner_id, bytes(blocks[i, : n_valid[i]])) for i in range(nb)]
     try:
-        with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        # spawn, not fork: JAX may already be initialized in this process
+        # and forking a multithreaded runtime can deadlock the children
+        with cf.ProcessPoolExecutor(
+            max_workers=workers, mp_context=mp.get_context("spawn")
+        ) as ex:
             return list(ex.map(_compress_one, payload, chunksize=4))
     except Exception:
-        # pickling/fork limits: fall back to the sequential path
+        # pickling/spawn limits: fall back to the sequential path
         return [
             compress(inner_id, bytes(blocks[i, : n_valid[i]]), raw=True)
             for i in range(nb)

@@ -20,6 +20,8 @@ candidates is strategy-implementation specific, here as in the reference.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..base import Compressor
@@ -427,11 +429,17 @@ class LCPCompressor(Compressor):
             from ..device import use_device
 
             lib = native.get_lib()
-            if n and use_device("TDC_DEVICE_LCPCOMP", min_n=1 << 22, n=n):
+            if n and os.environ.get("TDC_DEVICE_LCPCOMP") == "1" and use_device(
+                "TDC_DEVICE_LCPCOMP", min_n=1 << 22, n=n
+            ):
                 # device chain resolution: every decoder strategy yields
                 # the same bytes (the dec axis is a pointer-machine
                 # time/space trade); pointer doubling collapses all
-                # reference chains in ceil(log2 n)+1 gather rounds
+                # reference chains in ceil(log2 n)+1 gather rounds.
+                # Opt-in (TDC_DEVICE_LCPCOMP=1), like TDC_DEVICE_HUFF: the
+                # gather rounds are the same random-gather pattern that
+                # measured ~0.8 MB/s for device Huffman decode on v5e,
+                # and this path has no through-hardware benchmark yet.
                 from ..ops.lcpcomp_jax import resolve_factors_device
 
                 buffer = resolve_factors_device(buffer, tgt, srcs, lens)

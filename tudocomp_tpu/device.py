@@ -8,7 +8,11 @@ installs, where XLA:CPU loses to the tuned native code.
 
 Per-stage env overrides (1 = force device, 0 = force host):
   TDC_DEVICE_SA, TDC_DEVICE_LZSS, TDC_DEVICE_MTF, TDC_DEVICE_RLE,
-  TDC_DEVICE_HUFF
+  TDC_DEVICE_HUFF, TDC_DEVICE_LZ78, TDC_DEVICE_LCPCOMP
+
+TDC_DEVICE_HUFF and TDC_DEVICE_LCPCOMP additionally gate *decode* paths
+that are opt-in only (=1 required): their gather-bound device decoders
+measured far below the host decoders on v5e.
 """
 
 from __future__ import annotations
