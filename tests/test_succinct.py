@@ -77,3 +77,50 @@ def test_compressed_lcp():
         assert cl.lcp(0) == 0
         for i in rng.integers(1, len(sa), 10):
             assert cl.lcp(int(i)) == plcp[sa[i]]
+
+
+def test_sparse_isa_vectorized_queries():
+    rng = np.random.default_rng(4)
+    for t in (1, 2, 3, 16, 64):
+        n = int(rng.integers(1, 400))
+        text = np.concatenate([rng.integers(1, 6, n).astype(np.uint8), [0]])
+        sa = suffix_array_numpy(text)
+        si = SparseISA(sa, t=t)
+        isa = inverse_permutation(sa)
+        assert (si.to_array_via_queries() == isa).all(), t
+
+
+def test_textds_provider_axis_cli():
+    """The textds DSL axis routes through the succinct providers and the
+    payload is provider-invariant (registry_config.py:72-75 parity)."""
+    from tudocomp_tpu.driver import compress, decompress
+
+    data = b"how much wood would a woodchuck chuck" * 9
+    base = compress("lzss_lcp(coder=huff)", data)
+    for axis in (
+        "textds(isa=sparse_isa)",
+        "textds(isa=sparse_isa(t=1))",
+        "textds(lcp=compressed_lcp)",
+        "textds(lcp=compressed_lcp, isa=sparse_isa(t=2))",
+        "textds(sa=divsufsort, phi=from_sa, plcp=from_phi)",
+    ):
+        c = compress(f"lzss_lcp(coder=huff, textds={axis})", data)
+        assert decompress(c) == data, axis
+        # identical payload bytes after the differing <id>% headers
+        assert c[c.index(b"%"):] == base[base.index(b"%"):], axis
+    for algo in (
+        "bwt(textds=textds(isa=sparse_isa))",
+        "lcpcomp(coder=huff, textds=textds(lcp=compressed_lcp))",
+    ):
+        c = compress(algo, data)
+        assert decompress(c) == data, algo
+
+
+def test_textds_axis_in_list_docs():
+    from tudocomp_tpu.registry import REGISTRY
+
+    assert "textds" in REGISTRY.types()
+    assert REGISTRY.names("isa") == ["from_sa", "sparse_isa"]
+    assert REGISTRY.names("lcp") == ["compressed_lcp", "from_phi"]
+    doc = REGISTRY.generate_doc_string("textds")
+    assert "sa: sa = divsufsort" in doc

@@ -60,6 +60,7 @@ def register_all(registry: Registry = REGISTRY) -> Registry:
     # optional/heavier families registered lazily below; each module extends
     # the matrix when imported successfully
     for modname in (
+        "ds.textds_algo",
         "coders.huffman",
         "coders.arithmetic",
         "coders.sle",

@@ -14,7 +14,8 @@ import numpy as np
 
 from ..base import Compressor
 from ..ds import flags
-from ..ds.textds import TextDS, bwt_from_sa, decode_bwt
+from ..ds.textds import bwt_from_sa, decode_bwt
+from ..ds.textds_algo import make_textds
 from ..io.inout import Input, Output
 from ..meta import Meta
 from ..stats.phase import StatPhase
@@ -24,13 +25,14 @@ class BWTCompressor(Compressor):
     @classmethod
     def meta(cls) -> Meta:
         m = Meta("compressor", "bwt", "BWT of the input text")
+        m.option("textds").templated("textds", "textds")
         m.uses_textds(flags.SA)
         return m
 
     def compress(self, inp: Input, out: Output) -> None:
         text = inp.as_array()
         with StatPhase("Construct Text DS"):
-            ds = TextDS(text)
+            ds = make_textds(self, text)
             sa = ds.require_sa()
         with StatPhase("Compute BWT"):
             out.write(bwt_from_sa(text, sa))

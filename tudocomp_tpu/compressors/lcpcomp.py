@@ -319,14 +319,17 @@ class LCPCompressor(Compressor):
         m.option("dec").templated("lcpcomp_dec", "scan")
         m.option("threshold").dynamic(5)
         m.option("flatten").dynamic(1)
+        m.option("textds").templated("textds", "textds")
         m.uses_textds(flags.SA | flags.ISA | flags.LCP)
         return m
 
     def compress(self, inp: Input, out: Output) -> None:
+        from ..ds.textds_algo import make_textds
+
         text = inp.as_array()
         comp_name = self.env.option("comp").as_algorithm().name
         with StatPhase("Construct Text DS"):
-            ds = TextDS(text)
+            ds = make_textds(self, text)
             sa = ds.require_sa()
             isa = ds.require_isa()
             if comp_name == "plcppeaks":

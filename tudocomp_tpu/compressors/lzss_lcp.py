@@ -94,13 +94,16 @@ class LZSSLCPCompressor(Compressor):
         m = Meta("compressor", "lzss_lcp", "LZSS Factorization using LCP")
         m.option("coder").templated("coder")
         m.option("threshold").dynamic(3)
+        m.option("textds").templated("textds", "textds")
         m.uses_textds(flags.SA | flags.ISA | flags.LCP)
         return m
 
     def compress(self, inp: Input, out: Output) -> None:
+        from ..ds.textds_algo import make_textds
+
         text = inp.as_array()
         with StatPhase("Construct Text DS"):
-            ds = TextDS(text)
+            ds = make_textds(self, text)
             sa = ds.require_sa()
             isa = ds.require_isa()
             lcp = ds.require_lcp()

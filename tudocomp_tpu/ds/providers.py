@@ -70,6 +70,29 @@ class SparseISA:
         isa[self.sa] = np.arange(len(self.sa))
         return isa
 
+    def to_array_via_queries(self) -> np.ndarray:
+        """Materialize ISA by answering every query through the sparse
+        structure (vectorized isa(i) for all i at once) — the structure,
+        not the trivial inverse permutation, produces the result. Each
+        walk is bounded by t steps (shortcuts every t-th cycle element)."""
+        n = len(self.sa)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        j = np.arange(n, dtype=np.int64)
+        for _ in range(self.t):
+            miss = ~self._has[j]
+            if not miss.any():
+                break
+            j[miss] = self.sa[j[miss]]
+        x = self._shortcuts[self._rank.rank1_arr(j) - 1]
+        i = np.arange(n, dtype=np.int64)
+        for _ in range(self.t + 1):
+            miss = self.sa[x] != i
+            if not miss.any():
+                break
+            x[miss] = self.sa[x[miss]]
+        return x
+
 
 class CompressedLCP:
     """Sada-style PLCP: unary-delta bitvector of 2n bits + Select

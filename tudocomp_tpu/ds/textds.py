@@ -31,8 +31,20 @@ from .suffix_array import (
 
 
 class TextDS:
-    def __init__(self, text: np.ndarray):
+    def __init__(
+        self,
+        text: np.ndarray,
+        lcp_provider: str = "from_phi",
+        isa_provider: str = "from_sa",
+        sparse_isa_t: int = 3,
+    ):
         self.text = np.ascontiguousarray(text, dtype=np.uint8)
+        # provider selection (the `textds` DSL axis, ds/textds_algo.py):
+        # "compressed_lcp" answers LCP through a Sada bitvector + Select,
+        # "sparse_isa" answers ISA through cycle shortcuts + Rank
+        self.lcp_provider = lcp_provider
+        self.isa_provider = isa_provider
+        self.sparse_isa_t = sparse_isa_t
         self._sa: Optional[np.ndarray] = None
         self._isa: Optional[np.ndarray] = None
         self._phi: Optional[np.ndarray] = None
@@ -86,8 +98,15 @@ class TextDS:
 
     def require_isa(self) -> np.ndarray:
         if self._isa is None:
-            with StatPhase("Construct ISA"):
-                self._isa = inverse_permutation(self.require_sa())
+            with StatPhase("Construct ISA") as ph:
+                if self.isa_provider == "sparse_isa" and len(self.text):
+                    from .providers import SparseISA
+
+                    s = SparseISA(self.require_sa(), t=max(1, self.sparse_isa_t))
+                    ph.log("provider", "sparse_isa")
+                    self._isa = s.to_array_via_queries().astype(np.int32)
+                else:
+                    self._isa = inverse_permutation(self.require_sa())
         return self._isa
 
     def require_phi(self) -> np.ndarray:
@@ -112,8 +131,20 @@ class TextDS:
 
     def require_lcp(self) -> np.ndarray:
         if self._lcp is None:
-            with StatPhase("Construct LCP Array"):
-                self._lcp = lcp_from_plcp(self.require_plcp(), self.require_sa())
+            with StatPhase("Construct LCP Array") as ph:
+                if self.lcp_provider == "compressed_lcp" and len(self.text):
+                    from .providers import CompressedLCP
+
+                    c = CompressedLCP(self.require_plcp(), self.require_sa())
+                    ph.log("provider", "compressed_lcp")
+                    # materialize through the Select-answered bitvector
+                    self._lcp = lcp_from_plcp(
+                        c.plcp_array(), self.require_sa()
+                    ).astype(np.int32)
+                else:
+                    self._lcp = lcp_from_plcp(
+                        self.require_plcp(), self.require_sa()
+                    )
         return self._lcp
 
     # accessors mirroring TextDS::sa()/isa()/... ------------------------------

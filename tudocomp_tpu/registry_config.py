@@ -103,6 +103,18 @@ def compressor_matrix(fast: bool = False) -> list[str]:
             f"lfs_lit_coder={lit}, lfs_len_coder={ln}))"
         )
     ids += ["lfs2", "lfs2bst"]
+    # textds provider axis (etc/registry_config.py:72-75, 158, 227, 238):
+    # succinct providers routed through bwt/lzss_lcp/lcpcomp
+    if not fast:
+        ids += [
+            "bwt(textds=textds(isa=sparse_isa))",
+            "bwt(textds=textds(lcp=compressed_lcp))",
+            "lzss_lcp(coder=huff, textds=textds(isa=sparse_isa(t=2)))",
+            "lzss_lcp(coder=bit, textds=textds(lcp=compressed_lcp))",
+            "lzss_lcp(coder=huff, textds=textds(lcp=compressed_lcp, isa=sparse_isa))",
+            "lcpcomp(coder=huff, textds=textds(isa=sparse_isa))",
+            "lcpcomp(coder=huff, comp=plcppeaks, textds=textds(lcp=compressed_lcp))",
+        ]
     ids += ["blockwise(encode(huff), bs=16384)", "blockwise(lzw, bs=16384)"]
     ids += ["chain(bwt, chain(rle, chain(mtf, encode(huff))))"]
     return ids
