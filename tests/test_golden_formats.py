@@ -1,0 +1,129 @@
+"""Golden reference-format vectors: exact compressed bytes for tiny inputs.
+
+The reference pins bitstreams with (value, bitwidth) vectors
+(test/test/util.hpp:261-364 assert_eq_binary; used by huff_test.cpp,
+coder_tests.cpp, rle_test.cpp). The C++ tdc cannot be built in this
+environment, so these fixtures are HAND-DERIVED from the reference format
+code — every byte below is computed on paper from the cited file:line
+semantics, independently of this repo's implementation. If any emitted
+byte changes, these tests fail.
+
+Format ground rules used in the derivations:
+- BitOStream is MSB-first; its destructor appends the number of valid
+  bits of the final byte into that byte's low 3 bits if <=5 bits are
+  used, else flushes and writes an extra count byte; a byte-aligned
+  stream therefore ends with an extra 0x00 (io/BitOStream.hpp:53-64).
+- write_compressed_int(v, b=7) emits per 7-bit block (little-endian
+  block order): 1 flag bit ("another block follows") then the 7 data
+  bits (io/BitOStream.hpp:137-163).
+- Default Range encoding writes bits_for(max-min) bits, binary
+  (Coder.hpp:61-63); bits_for(0) == 1 (util.hpp:185-196).
+"""
+
+from __future__ import annotations
+
+from tudocomp_tpu.driver import compress, decompress
+
+
+def roundtrip_raw(algo: str, data: bytes) -> bytes:
+    c = compress(algo, data, raw=True)
+    assert decompress(c, id_string=algo, raw=True) == data
+    return c
+
+
+# ---------------------------------------------------------------------------
+# rle — RunLengthEncoder.hpp:16-32: runs >= 2 emit the char twice plus
+# vbyte(run_extra) where run_extra counts occurrences beyond the second;
+# vbyte = 7 data bits/byte, MSB flag = "more bytes" (util/vbyte.hpp:29-40).
+
+
+def test_golden_rle():
+    # "aaaabbc": 'a' + ('a' + vbyte(2)) + 'b' + ('b' + vbyte(0)) + 'c'
+    assert roundtrip_raw("rle", b"aaaabbc") == b"aa\x02bb\x00c"
+    # 300 x 'x': 'x' 'x' vbyte(298); 298 = 0b10_0101010 ->
+    # low 7 bits 42 with cont flag (0xAA), then 2 (0x02)
+    assert roundtrip_raw("rle", b"x" * 300) == b"xx\xaa\x02"
+    # no runs: passthrough
+    assert roundtrip_raw("rle", b"abc") == b"abc"
+    assert roundtrip_raw("rle", b"") == b""
+
+
+# ---------------------------------------------------------------------------
+# encode(ascii) — ASCIICoder.hpp:32-36: literals are written as raw bytes;
+# the stream is byte-aligned so the EOF convention appends 0x00.
+
+
+def test_golden_encode_ascii():
+    assert roundtrip_raw("encode(ascii)", b"abc") == b"abc\x00"
+    assert roundtrip_raw("encode(ascii)", b"") == b"\x00"
+
+
+# ---------------------------------------------------------------------------
+# lzss(ascii) — LZSSSlidingWindowCompressor.hpp:39-117 with ASCIICoder:
+# per token a BitRange flag as '0'/'1' (ASCIICoder.hpp:46-48), literals as
+# raw bytes, factors as decimal delta ':' then decimal length ':'
+# (ASCIICoder.hpp:33-40).
+#
+# "abcabcabc" (window=16, threshold=3): three literals a,b,c; at ahead=3
+# the back-buffer walk finds k=0 with j=6 (it may run into the lookahead:
+# buf[k+j]==buf[ahead+j] is checked against the whole buffer), so one
+# factor (delta=3, len=6) covers the rest: "0a0b0c1" + "3:" + "6:".
+
+
+def test_golden_lzss_ascii():
+    assert roundtrip_raw("lzss(coder=ascii)", b"abcabcabc") == b"0a0b0c13:6:\x00"
+
+
+# ---------------------------------------------------------------------------
+# lz78(coder=bit) — LZ78Compressor.hpp:97-131: per factor the parent id in
+# Range(factor_count) (bits_for(factor_count) bits, binary) then the
+# literal in 8 bits; trailing partial factor emits (parent, last char).
+#
+# "abababab" parses as (0,'a') (0,'b') (1,'b') (3,'a') + trailing (0,'b'):
+#   0 01100001 | 0 01100010 | 01 01100010 | 11 01100001 | 000 01100010
+# = 49 bits -> 30 98 96 2D 84 31, final byte 1 bit used -> low bits |= 1.
+
+
+def test_golden_lz78_bit():
+    assert roundtrip_raw("lz78(coder=bit)", b"abababab") == bytes(
+        [0x30, 0x98, 0x96, 0x2D, 0x84, 0x31, 0x01]
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode(huff) — HuffmanCoder.hpp:526-546 (1-bit alphabet flag), 264-273
+# (table: cint(longest), cint(numl[i]) each, cint(alphabet_size), then the
+# ordered symbol map as raw bytes), 88-169 (MG 2.3 code lengths), 196-236
+# (canonical codewords from gen_first_codes).
+#
+# "aaaaaaaabbbbccd": counts a=8 b=4 c=2 d=1 (tie-free merge order), MG
+# lengths [1,2,3,3]; numl=[1,1,2]; firstcode=[1,1,0] so a='1', b='01',
+# c='000', d='001'. Stream:
+#   1 | cint(3) | cint(1) cint(1) cint(2) | cint(4) | 'a' 'b' 'c' 'd'
+#     | '1'x8 '01'x4 '000'x2 '001'
+# = 98 bits; bytes 81 80 80 81 02 30 B1 31 B2 7F AA 80, final byte has
+# 2 bits (01......) -> 0x40 | 2 = 0x42.
+
+
+def test_golden_encode_huff():
+    assert roundtrip_raw("encode(huff)", b"aaaaaaaabbbbccd") == bytes(
+        [0x81, 0x80, 0x80, 0x81, 0x02, 0x30, 0xB1, 0x31, 0xB2, 0x7F, 0xAA, 0x80, 0x42]
+    )
+
+
+def test_golden_encode_huff_degenerate():
+    # empty input: single 0 flag bit -> one byte holding the count 1
+    assert roundtrip_raw("encode(huff)", b"") == b"\x01"
+    # single-symbol alphabet: 0 flag bit then raw 8-bit literals
+    # (HuffmanCoder.hpp:540-546, 564-566): "0" + "01100001"*3 = 25 bits
+    assert roundtrip_raw("encode(huff)", b"aaa") == bytes([0x30, 0xB0, 0xB0, 0x81])
+
+
+# ---------------------------------------------------------------------------
+# CLI container: the self-describing header is "<id>%" prepended verbatim
+# (tudocomp_driver.cpp:260-266), so the full-file bytes are pinned too.
+
+
+def test_golden_cli_container():
+    full = compress("rle", b"aaaabbc")
+    assert full == b"rle%aa\x02bb\x00c"
