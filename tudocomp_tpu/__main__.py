@@ -70,7 +70,10 @@ def main(argv=None) -> int:
 
     from . import REGISTRY
     from .driver import compress as do_compress_fn, decompress as do_decompress_fn
+    from .logging_setup import setup_logging
     from .stats.phase import StatPhase
+
+    setup_logging(args.logdir, args.loglevel, args.logverbosity)
 
     if args.stats is not None and os.environ.get("TDC_TRACK_MEM") != "0":
         # --stats implies per-phase heap columns (reference malloc-override

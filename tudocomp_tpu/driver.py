@@ -9,10 +9,13 @@ wrap the *output* with the same restrictions and run decompress.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from .io.inout import Input, Output
 from .registry import REGISTRY, Registry
+
+_LOG = logging.getLogger("tudocomp_tpu.driver")
 
 
 def compress(
@@ -25,6 +28,10 @@ def compress(
     av = reg.parse_algorithm_id(id_string, "compressor")
     comp = reg.select_algorithm(av, "compressor")
     rest = comp.meta().input_restrictions
+    _LOG.info("compress: algorithm %s", av.id_string())
+    _LOG.debug(
+        "compress: %d input bytes, restrictions=%s, raw=%s", len(data), rest, raw
+    )
 
     out = Output()
     if not raw:
@@ -61,6 +68,7 @@ def decompress(
     assert id_string is not None
     comp = reg.select(id_string, "compressor")
     rest = comp.meta().input_restrictions
+    _LOG.info("decompress: algorithm %s", id_string)
 
     out = Output()
     wrapped = out.with_restrictions(rest) if rest.has_restrictions else out

@@ -22,10 +22,13 @@ extra stats keys.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 import tracemalloc
 from typing import Any, Optional
+
+_LOG = logging.getLogger("tudocomp_tpu.stats")
 
 _current: Optional["StatPhase"] = None
 _started_tracing = False
@@ -126,6 +129,8 @@ class StatPhase:
         if StatPhase.track_device_memory:
             self.stats["devMemFinal"] = _device_mem()
         _current = self._parent
+        # DVLOG analogue: per-phase timing at DEBUG (wired to --logverbosity)
+        _LOG.debug("phase %r: %.3f ms", self.title, self.time_end - self.time_start)
         return False
 
     @staticmethod
