@@ -24,6 +24,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <unordered_map>
 #include <vector>
 
@@ -715,86 +716,322 @@ struct RollingFpTrie {
     }
 };
 
-// Sparse-group table trie (capability mirror of
-// lz78/CompactSparseHashTrie.hpp over util/compact_sparse_hash.hpp): slots
-// are grouped 64 to a bucket with an occupancy bitmap; a group stores only
-// its live entries, packed in slot-rank order, so empty capacity costs one
-// bit per slot instead of a full entry. Linear probing over the virtual
-// slot space; bitmap rank (popcount) locates the packed entry.
-struct SparseGroupTrie {
-    static constexpr uint32_t UNDEF = UINT32_MAX;
-    struct Group {
+// Compact sparse hash table (semantic mirror of
+// util/compact_sparse_hash.hpp:61-1213, the structure behind the
+// reference's `compact_sparse_hash` lz78 trie):
+//  - QUOTIENTING: keys are mixed with an involutive xor-shift bijection
+//    over the current key width; the low log2(capacity) bits are the
+//    initial slot address, only the remaining high bits (the quotient)
+//    are stored. The full key is recomposed from (address, quotient)
+//    when the table grows, so no key array exists at all.
+//  - SPARSE BIT-PACKED BUCKETS: 64 slots per bucket; a u64 occupancy
+//    bitmap plus packed arrays of only the live entries (quotients
+//    bit-packed at quotient_width bits each, values as u32), located by
+//    popcount rank. Empty capacity costs 1 bit/slot + 2 metadata bits.
+//  - DISPLACEMENT: elements never move away from their home *group*;
+//    per-slot v ("some group starts here") and c ("this slot starts a
+//    group") bits track the cyclic group layout, and inserts shift the
+//    colliding run one slot right (compact_sparse_hash.hpp:483-500
+//    shift_insert_handler semantics).
+struct CompactSparseTable {
+    static constexpr uint32_t NO_VAL = UINT32_MAX;
+    struct Bucket {
         uint64_t bitmap = 0;
-        std::vector<uint64_t> keys;
+        std::vector<uint64_t> quots;  // bit-packed, quot_width bits/entry
         std::vector<uint32_t> vals;
     };
-    std::vector<Group> groups_;
-    uint64_t slot_mask_;
+    std::vector<Bucket> buckets_;
+    std::vector<uint64_t> vbits_, cbits_;
+    size_t cap_log2_;
     size_t size_ = 0;
-    uint32_t next_id_;
+    uint8_t width_;  // current max key width in bits
 
-    SparseGroupTrie(size_t expected, size_t roots) : next_id_((uint32_t)roots) {
-        size_t cap = 64;
-        while (cap * 3 < expected * 4) cap <<= 1;  // initial load <= 0.75
-        groups_.resize(cap >> 6);
-        slot_mask_ = cap - 1;
+    explicit CompactSparseTable(size_t cap_log2 = 6, uint8_t width = 9)
+        : cap_log2_(cap_log2), width_(width) {
+        size_t cap = size_t(1) << cap_log2_;
+        size_t nb = (cap + 63) >> 6;
+        buckets_.resize(nb);
+        vbits_.assign(nb, 0);
+        cbits_.assign(nb, 0);
     }
+
+    size_t capacity() const { return size_t(1) << cap_log2_; }
+    uint64_t mask() const { return capacity() - 1; }
+    // usable key bits always exceed the address bits by >= 1
+    uint8_t real_width() const {
+        uint8_t lo = (uint8_t)(cap_log2_ + 1);
+        return width_ > lo ? width_ : lo;
+    }
+    size_t quot_width() const { return real_width() - cap_log2_; }
+
+    // involutive bijection over w bits (same role as compact_hashfn,
+    // compact_sparse_hash.hpp:30-44; shift direction differs)
+    static uint64_t mixkey(uint64_t x, uint64_t w) {
+        uint64_t j = w / 2 + 1;
+        uint64_t m = (1ull << (w - 1) << 1) - 1;
+        return (x ^ (x >> j)) & m;
+    }
+
+    bool get_bit(const std::vector<uint64_t>& b, size_t i) const {
+        return (b[i >> 6] >> (i & 63)) & 1;
+    }
+    void set_bit(std::vector<uint64_t>& b, size_t i, bool v) {
+        if (v)
+            b[i >> 6] |= 1ull << (i & 63);
+        else
+            b[i >> 6] &= ~(1ull << (i & 63));
+    }
+    bool get_v(size_t i) const { return get_bit(vbits_, i); }
+    bool get_c(size_t i) const { return get_bit(cbits_, i); }
+    void set_v(size_t i, bool x) { set_bit(vbits_, i, x); }
+    void set_c(size_t i, bool x) { set_bit(cbits_, i, x); }
+
+    size_t mod_add(size_t i, size_t d = 1) const { return (i + d) & mask(); }
+    size_t mod_sub(size_t i, size_t d = 1) const { return (i - d) & mask(); }
+
+    bool occupied(size_t pos) const {
+        return (buckets_[pos >> 6].bitmap >> (pos & 63)) & 1;
+    }
+    static size_t rank_of(const Bucket& b, size_t off) {
+        return (size_t)__builtin_popcountll(b.bitmap & ((1ull << off) - 1));
+    }
+
+    // -- bit-packed quotient accessors (within one bucket) ------------------
+    static uint64_t quot_get(const Bucket& b, size_t rank, size_t qw) {
+        size_t bitpos = rank * qw;
+        size_t w0 = bitpos >> 6, sh = bitpos & 63;
+        uint64_t lo = b.quots[w0] >> sh;
+        if (sh + qw > 64) lo |= b.quots[w0 + 1] << (64 - sh);
+        return lo & ((1ull << (qw - 1) << 1) - 1);
+    }
+    static void quot_set(Bucket& b, size_t rank, size_t qw, uint64_t q) {
+        size_t bitpos = rank * qw;
+        size_t w0 = bitpos >> 6, sh = bitpos & 63;
+        uint64_t qm = (1ull << (qw - 1) << 1) - 1;
+        q &= qm;
+        b.quots[w0] = (b.quots[w0] & ~(qm << sh)) | (q << sh);
+        if (sh + qw > 64) {
+            size_t hi = sh + qw - 64;  // bits spilling into the next word
+            uint64_t hm = (1ull << hi) - 1;
+            b.quots[w0 + 1] = (b.quots[w0 + 1] & ~hm) | (q >> (64 - sh));
+        }
+    }
+
+    uint64_t get_quot(size_t pos) const {
+        const Bucket& b = buckets_[pos >> 6];
+        return quot_get(b, rank_of(b, pos & 63), quot_width());
+    }
+    uint32_t* val_at(size_t pos) {
+        Bucket& b = buckets_[pos >> 6];
+        return &b.vals[rank_of(b, pos & 63)];
+    }
+    uint32_t val_get(size_t pos) const {
+        const Bucket& b = buckets_[pos >> 6];
+        return b.vals[rank_of(b, pos & 63)];
+    }
+
+    // insert (quot, val) into an EMPTY slot; rebuilds the bucket's packed
+    // arrays (the reference reallocates the bucket per insert too,
+    // compact_sparse_hash.hpp:966-1009)
+    void bucket_insert(size_t pos, uint64_t quot, uint32_t val) {
+        Bucket& b = buckets_[pos >> 6];
+        size_t qw = quot_width();
+        size_t rank = rank_of(b, pos & 63);
+        size_t n = (size_t)__builtin_popcountll(b.bitmap);
+        b.vals.insert(b.vals.begin() + rank, val);
+        std::vector<uint64_t> nq(((n + 1) * qw + 63) >> 6, 0);
+        Bucket tmp;
+        tmp.quots = std::move(nq);
+        for (size_t r = 0, w = 0; r < n + 1; ++r) {
+            uint64_t q = (r == rank) ? quot : quot_get(b, w++, qw);
+            quot_set(tmp, r, qw, q);
+        }
+        b.quots = std::move(tmp.quots);
+        b.bitmap |= 1ull << (pos & 63);
+    }
+
+    // overwrite the (existing) entry at pos
+    void put_at(size_t pos, uint64_t quot, uint32_t val) {
+        Bucket& b = buckets_[pos >> 6];
+        size_t rank = rank_of(b, pos & 63);
+        quot_set(b, rank, quot_width(), quot);
+        b.vals[rank] = val;
+    }
+
+    struct Decomposed {
+        size_t addr;
+        uint64_t quot;
+    };
+    Decomposed decompose(uint64_t key) const {
+        uint64_t h = mixkey(key, real_width());
+        return {size_t(h & mask()), h >> cap_log2_};
+    }
+    uint64_t compose(size_t addr, uint64_t quot) const {
+        return mixkey((quot << cap_log2_) | addr, real_width());
+    }
+
+    // find the cyclic range of the group belonging to an initial address
+    // whose v bit is set (search_existing_group semantics,
+    // compact_sparse_hash.hpp:502-542)
+    struct Group {
+        size_t start, end, term;
+    };
+    Group find_group(size_t addr) const {
+        size_t cursor = addr, vcnt = 0;
+        for (; occupied(cursor); cursor = mod_add(cursor)) vcnt += get_v(cursor);
+        Group g;
+        g.term = cursor;
+        size_t ccnt = vcnt;
+        for (; ccnt != 1; cursor = mod_sub(cursor)) ccnt -= get_c(mod_sub(cursor));
+        g.end = cursor;
+        for (; ccnt != 0; cursor = mod_sub(cursor)) ccnt -= get_c(mod_sub(cursor));
+        g.start = cursor;
+        return g;
+    }
+
+    // returns the value slot for key; *created=true if newly inserted
+    uint32_t* index(uint64_t key, uint8_t key_width, bool* created) {
+        if (key_width > width_) grow(key_width, cap_log2_);
+        if ((capacity() >> 1) <= size_ + 1) grow(width_, cap_log2_ + 1);
+        Decomposed d = decompose(key);
+        if (!occupied(d.addr)) {
+            bucket_insert(d.addr, d.quot, NO_VAL);
+            set_v(d.addr, true);
+            set_c(d.addr, true);
+            ++size_;
+            *created = true;
+            return val_at(d.addr);
+        }
+        bool group_exists = get_v(d.addr);
+        if (group_exists) {
+            Group g = find_group(d.addr);
+            for (size_t i = g.start; i != g.end; i = mod_add(i))
+                if (get_quot(i) == d.quot) {
+                    *created = false;
+                    return val_at(i);
+                }
+            size_t at = insert_after(g, d.quot);
+            ++size_;
+            *created = true;
+            return val_at(at);
+        }
+        // no group yet: pretend it exists so insert_after lands just
+        // before it, then mark the new slot as a group start
+        set_v(d.addr, true);
+        Group g = find_group(d.addr);
+        size_t at = insert_after(g, d.quot);
+        set_c(g.end, true);
+        ++size_;
+        *created = true;
+        return val_at(at);
+    }
+
+    // place quot at group end, shifting the following run right by one
+    size_t insert_after(const Group& g, uint64_t quot) {
+        if (!occupied(g.end)) {
+            bucket_insert(g.end, quot, NO_VAL);
+            return g.end;
+        }
+        // slide [end, term) one slot right; term is empty
+        for (size_t i = g.term; i != g.end;) {
+            size_t prev = mod_sub(i);
+            if (!occupied(i))
+                bucket_insert(i, get_quot(prev), *val_at(prev));
+            else
+                put_at(i, get_quot(prev), *val_at(prev));
+            i = prev;
+        }
+        // c bits shift with the elements; the landing slot continues
+        // its predecessor's group
+        for (size_t i = g.term; i != g.end;) {
+            size_t prev = mod_sub(i);
+            set_c(i, get_c(prev));
+            i = prev;
+        }
+        set_c(g.end, false);
+        put_at(g.end, quot, NO_VAL);
+        return g.end;
+    }
+
+    // enumerate (initial_address, pos) of every element, walking runs from
+    // an empty slot so group attribution is well-defined (iter_all_t,
+    // compact_sparse_hash.hpp:743-815)
+    void for_each(const std::function<void(size_t, size_t)>& f) const {
+        size_t cap = capacity();
+        if (size_ == 0) return;
+        size_t start = 0;
+        while (occupied(start)) ++start;  // capacity > 2*size, must exist
+        size_t ia = start;
+        bool in_run = false;
+        for (size_t step = 0, i = mod_add(start); step < cap;
+             ++step, i = mod_add(i)) {
+            if (!occupied(i)) {
+                in_run = false;
+                continue;
+            }
+            if (!in_run) {
+                in_run = true;
+                ia = mod_sub(i);
+            }
+            if (get_c(i)) {
+                ia = mod_add(ia);
+                while (!get_v(ia)) ia = mod_add(ia);
+            }
+            f(ia, i);
+        }
+    }
+
+    void grow(uint8_t new_width, size_t new_cap_log2) {
+        CompactSparseTable nt(new_cap_log2, new_width);
+        for_each([&](size_t ia, size_t pos) {
+            uint64_t key = compose(ia, get_quot(pos));
+            bool created = false;
+            *nt.index(key, new_width, &created) = val_get(pos);
+        });
+        *this = std::move(nt);
+    }
+
+    // allocated payload bytes (the compaction stat): packed quotients +
+    // values + occupancy/metadata bits
+    size_t footprint_bytes() const {
+        size_t b = vbits_.size() * 8 * 2;
+        for (const Bucket& g : buckets_)
+            b += 8 + g.quots.size() * 8 + g.vals.size() * 4;
+        return b;
+    }
+};
+
+// LZ78 trie over the compact sparse table (mirror of
+// lz78/CompactSparseHashTrie.hpp:14-101: running-max key width, keys are
+// (parent << 8) | char).
+struct CompactSparseHashTrie {
+    static constexpr uint32_t UNDEF = UINT32_MAX;
+    CompactSparseTable table_;
+    uint32_t next_id_;
+    uint8_t key_width_ = 9;
+
+    CompactSparseHashTrie(size_t /*expected*/, size_t roots)
+        : next_id_((uint32_t)roots) {}
 
     void restart() {}
     void restart_root(uint8_t) {}
 
-    static inline uint64_t mix(uint64_t x) {
-        x += 0x9e3779b97f4a7c15ULL;
-        x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
-        x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
-        return x ^ (x >> 31);
-    }
-
-    bool insert_only(uint64_t key, uint32_t val) {
-        for (uint64_t slot = mix(key) & slot_mask_;;
-             slot = (slot + 1) & slot_mask_) {
-            Group& g = groups_[slot >> 6];
-            uint64_t bit = 1ULL << (slot & 63);
-            size_t rank = (size_t)__builtin_popcountll(g.bitmap & (bit - 1));
-            if (!(g.bitmap & bit)) {
-                g.keys.insert(g.keys.begin() + rank, key);
-                g.vals.insert(g.vals.begin() + rank, val);
-                g.bitmap |= bit;
-                return true;
-            }
-            if (g.keys[rank] == key) return false;
-        }
-    }
-
-    void grow() {
-        std::vector<Group> old = std::move(groups_);
-        size_t cap = (slot_mask_ + 1) << 1;
-        groups_.clear();
-        groups_.resize(cap >> 6);
-        slot_mask_ = cap - 1;
-        for (Group& g : old)
-            for (size_t j = 0; j < g.keys.size(); ++j)
-                insert_only(g.keys[j], g.vals[j]);
+    static uint8_t bits_for_u64(uint64_t v) {
+        return v == 0 ? 1 : (uint8_t)(64 - __builtin_clzll(v));
     }
 
     uint32_t find_or_insert(uint32_t node, uint8_t c) {
         uint64_t key = ((uint64_t)node << 8) | c;
-        for (uint64_t slot = mix(key) & slot_mask_;;
-             slot = (slot + 1) & slot_mask_) {
-            Group& g = groups_[slot >> 6];
-            uint64_t bit = 1ULL << (slot & 63);
-            size_t rank = (size_t)__builtin_popcountll(g.bitmap & (bit - 1));
-            if (!(g.bitmap & bit)) {
-                g.keys.insert(g.keys.begin() + rank, key);
-                g.vals.insert(g.vals.begin() + rank, next_id_++);
-                g.bitmap |= bit;
-                if (++size_ * 4 > (slot_mask_ + 1) * 3) grow();
-                return UNDEF;
-            }
-            if (g.keys[rank] == key) return vals_at(g, rank);
+        uint8_t kw = bits_for_u64(key);
+        if (kw > key_width_) key_width_ = kw;
+        bool created = false;
+        uint32_t* v = table_.index(key, key_width_, &created);
+        if (created) {
+            *v = next_id_++;
+            return UNDEF;
         }
+        return *v;
     }
-    static uint32_t vals_at(Group& g, size_t rank) { return g.vals[rank]; }
 };
 
 }  // extern "C" (templates below need C++ linkage)
@@ -883,10 +1120,29 @@ int64_t tdc_lz78_parse_trie(const uint8_t* data, int64_t n, uint32_t* parents,
         return lz78_parse_t(data, n, parents, chars, trie);
     }
     if (kind == 7) {
-        SparseGroupTrie trie((size_t)n, 1);
+        CompactSparseHashTrie trie((size_t)n, 1);
         return lz78_parse_t(data, n, parents, chars, trie);
     }
     return tdc_lz78_parse(data, n, parents, chars);
+}
+
+// Footprint probe for the compact sparse hash: parses `data` through the
+// CompactSparseHashTrie and reports out[0]=payload bytes allocated by the
+// table, out[1]=entries, out[2]=capacity, out[3]=quotient width (bits).
+// A dense open-addressing table at the same capacity would spend
+// 12 bytes/slot (u64 key + u32 val); the compact table spends
+// ~(quot_width+2)/8 bytes per empty slot and quot_width bits + 4 bytes
+// per entry — the stat pins the compaction claim.
+int64_t tdc_csh_footprint(const uint8_t* data, int64_t n, int64_t* out) {
+    CompactSparseHashTrie trie((size_t)n, 1);
+    std::vector<uint32_t> parents((size_t)n + 1);
+    std::vector<uint8_t> chars((size_t)n + 1);
+    int64_t nf = lz78_parse_t(data, n, parents.data(), chars.data(), trie);
+    out[0] = (int64_t)trie.table_.footprint_bytes();
+    out[1] = (int64_t)trie.table_.size_;
+    out[2] = (int64_t)trie.table_.capacity();
+    out[3] = (int64_t)trie.table_.quot_width();
+    return nf;
 }
 
 int64_t tdc_lzw_parse_trie(const uint8_t* data, int64_t n, uint32_t* codes,
@@ -909,7 +1165,7 @@ int64_t tdc_lzw_parse_trie(const uint8_t* data, int64_t n, uint32_t* codes,
         return lzw_parse_t(data, n, codes, trie);
     }
     if (kind == 7) {
-        SparseGroupTrie trie((size_t)n, 256);
+        CompactSparseHashTrie trie((size_t)n, 256);
         return lzw_parse_t(data, n, codes, trie);
     }
     return tdc_lzw_parse(data, n, codes);

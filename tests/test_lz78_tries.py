@@ -66,3 +66,41 @@ def test_expected_factors_banana():
     p, c = lz78_parse(np.frombuffer(b"abcdebcdeabc", np.uint8))
     assert list(p) == [0, 0, 0, 0, 0, 2, 4, 1, 0]
     assert bytes(list(c)) == b"abcdecebc"
+
+
+def test_compact_sparse_hash_structure():
+    """The compact_sparse_hash backend is the real quotienting structure
+    (util/compact_sparse_hash.hpp:61-1213 semantics): bit-packed quotient
+    buckets must undercut a dense (u64 key + u32 val)/slot table by >2x,
+    the quotient must be narrower than the key, and the parse must stay
+    factor-identical to every other backend."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "tdc_csh_footprint"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    data = np.asarray(rng.integers(97, 105, 200_000), np.uint8)
+    out = np.zeros(4, np.int64)
+    nf = lib.tdc_csh_footprint(data, len(data), out)
+    footprint, entries, cap, quot_width = (int(x) for x in out)
+    assert nf > 0 and entries > 1000
+    assert cap >= 2 * entries  # grow keeps load <= 0.5
+    # quotienting: stored bits per key < full key width
+    key_width = int(np.ceil(np.log2(entries))) + 8
+    assert 0 < quot_width < key_width
+    dense_bytes = cap * 12
+    assert footprint * 2 < dense_bytes, (footprint, dense_bytes)
+
+    p1 = np.zeros(len(data), np.uint32)
+    c1 = np.zeros(len(data), np.uint8)
+    p2 = np.zeros(len(data), np.uint32)
+    c2 = np.zeros(len(data), np.uint8)
+    n1 = lib.tdc_lz78_parse_trie(data, len(data), p1, c1, 7)
+    n2 = lib.tdc_lz78_parse_trie(data, len(data), p2, c2, 3)
+    assert n1 == n2
+    assert (p1[:n1] == p2[:n2]).all() and (c1[:n1] == c2[:n2]).all()

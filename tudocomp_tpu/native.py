@@ -64,6 +64,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_lz78_parse.argtypes = [u8p, i64, u32p, u8p]
     lib.tdc_lz78_parse_trie.restype = i64
     lib.tdc_lz78_parse_trie.argtypes = [u8p, i64, u32p, u8p, ctypes.c_int32]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.tdc_csh_footprint.restype = i64
+    lib.tdc_csh_footprint.argtypes = [u8p, i64, i64p]
     lib.tdc_lz78_parse_hash.restype = i64
     lib.tdc_lz78_parse_hash.argtypes = [
         u8p,
