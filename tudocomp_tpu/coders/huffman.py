@@ -130,15 +130,21 @@ class HuffmanCoder:
         return Meta("coder", "huff", "Canonical Huffman Coder")
 
     class Encoder(Encoder):
-        def __init__(self, env, writer: BitWriter, literals):
+        def __init__(self, env, writer: BitWriter, literals, counts=None):
+            """counts, when given, is an externally imposed 256-entry
+            histogram (e.g. a mesh-psum'd global table for block-parallel
+            encode, parallel/runtime.py) used in place of the literal
+            feed's own counts; the table is still serialized into this
+            stream, so the output stays standard-decodable."""
             super().__init__(env, writer, literals)
-            chars = literals.chars()
-            if len(chars) == 0:
-                self.table = None
-                self.w.write_bit(0)
-                return
-            counts = np.bincount(chars, minlength=256)
-            if np.count_nonzero(counts) == 1:
+            if counts is None:
+                chars = literals.chars()
+                if len(chars) == 0:
+                    self.table = None
+                    self.w.write_bit(0)
+                    return
+                counts = np.bincount(chars, minlength=256)
+            if np.count_nonzero(counts) <= 1:
                 self.table = None
                 self.w.write_bit(0)
                 return

@@ -104,6 +104,31 @@ class BlockwiseCompressor(Compressor):
                 ph.log("bs", bs)
                 out.write(blockwise_huffman_compress(bytes(data), bs, shared_table=shared))
                 return
+        if av.name == "lzss_lcp" and av.options.get("coder") is not None:
+            coder_av = av.options["coder"]
+            multiproc = False
+            try:
+                import jax
+
+                multiproc = jax.process_count() > 1
+            except Exception:
+                pass
+            if coder_av.name == "huff" and (shared or multiproc):
+                # the DP mesh path: per-process SA/factorize, optionally a
+                # globally shared psum'd Huffman table, ordered TBK1 gather
+                with StatPhase("mesh blockwise lzss") as ph:
+                    from ..parallel.runtime import blockwise_lzss_compress
+
+                    ph.log("bs", bs)
+                    out.write(
+                        blockwise_lzss_compress(
+                            bytes(data),
+                            bs,
+                            threshold=int(av.options.get("threshold", "3")),
+                            shared_table=shared,
+                        )
+                    )
+                    return
         blocks, n_valid = split_blocks(data, bs)
         batch = getattr(comp, "compress_block_batch", None)
         if batch is not None and _device_available():

@@ -48,15 +48,22 @@ def init_distributed(coordinator_address: str | None = None,
 
 
 def pod_compress(data: bytes, block_size: int = 1 << 18,
-                 shared_table: bool = False) -> bytes | None:
+                 shared_table: bool = False, inner: str = "huff") -> bytes | None:
     """Compress across the full slice; returns the container on process 0
     and None elsewhere (every process must call this collectively with the
-    same data)."""
+    same data). inner selects the block pipeline: "huff" = encode(huff)
+    over the device mesh, "lzss" = lzss_lcp(coder=huff) with per-process
+    SA/factorize and (optionally) a globally shared Huffman table."""
     import jax
 
-    from .runtime import blockwise_huffman_compress
+    from .runtime import blockwise_huffman_compress, blockwise_lzss_compress
 
-    out = blockwise_huffman_compress(
-        data, block_size=block_size, shared_table=shared_table
-    )
+    if inner == "lzss":
+        out = blockwise_lzss_compress(
+            data, block_size=block_size, shared_table=shared_table
+        )
+    else:
+        out = blockwise_huffman_compress(
+            data, block_size=block_size, shared_table=shared_table
+        )
     return out if jax.process_index() == 0 else None

@@ -26,7 +26,12 @@ from ..ops import huffman_jax
 from ..ops.bitpack import finalize_stream
 from .blocks import frame_streams, pad_block_count, split_blocks
 
-__all__ = ["dp_mesh", "make_block_encoder", "blockwise_huffman_compress"]
+__all__ = [
+    "dp_mesh",
+    "make_block_encoder",
+    "blockwise_huffman_compress",
+    "blockwise_lzss_compress",
+]
 
 
 def dp_mesh(devices=None) -> Mesh:
@@ -105,6 +110,118 @@ def blockwise_huffman_compress(
     payloads = [
         finalize_stream(words[i], int(bits[i])) for i in range(n_real)
     ]
+    return frame_streams(payloads, block_size)
+
+
+def blockwise_lzss_compress(
+    data,
+    block_size: int = 1 << 18,
+    threshold: int = 3,
+    shared_table: bool = False,
+    coder: str = "huff",
+) -> bytes:
+    """Block-parallel lzss_lcp(coder=huff) over the process mesh.
+
+    The DP flagship beyond plain entropy coding (BASELINE config 5): blocks
+    are partitioned contiguously over processes; each process runs the full
+    per-block pipeline (restriction wrap -> SA/ISA/LCP -> ANSV factorize ->
+    lzss encode) with the device stages engaged by the standard use_device
+    gates; with shared_table=True the literal histograms are summed across
+    every process (ICI/DCN all-gather) and one global Huffman table encodes
+    all blocks (serialized per block, so streams stay standard-decodable);
+    payloads are gathered in deterministic block order into the TBK1
+    container — output bytes are identical for any process count.
+
+    Without shared_table the per-block payloads are byte-identical to
+    driver.compress("lzss_lcp(coder=huff)", block, raw=True).
+    """
+    from ..coders.huffman import HuffmanCoder
+    from ..compressors.lzss_common import encode_text, literal_feed
+    from ..compressors.lzss_lcp import lcp_factorize
+    from ..ds.textds import TextDS
+    from ..io.bitio import BitWriter
+    from ..io.inout import Input
+    from ..io.restrict import InputRestrictions
+    from ..meta import AlgorithmValue, Env
+    from ..registry import REGISTRY
+    from ..stats.phase import StatPhase
+
+    assert coder == "huff", "mesh path currently requires the huff coder"
+    blocks, n_valid = split_blocks(data, block_size)
+    nb = len(blocks)
+    pc, pi = jax.process_count(), jax.process_index()
+    chunk = -(-nb // pc) if nb else 0
+    lo, hi = pi * chunk, min(nb, (pi + 1) * chunk)
+
+    # lzss_lcp textds restrictions: escape \0, append sentinel (applied
+    # per block, mirroring the per-block driver.compress on the host path)
+    rest = InputRestrictions((0,), True)
+    texts, factor_sets, hists = [], [], []
+    with StatPhase("blockwise lzss factorize") as ph:
+        ph.log("blocks_local", hi - lo)
+        for i in range(lo, hi):
+            inp = Input(bytes(blocks[i, : n_valid[i]])).with_restrictions(rest)
+            text = inp.as_array()
+            ds = TextDS(text)
+            f = lcp_factorize(
+                ds.require_sa(), ds.require_isa(), ds.require_lcp(), threshold
+            )
+            texts.append(text)
+            factor_sets.append(f)
+            if shared_table:
+                hists.append(
+                    np.bincount(literal_feed(text, f).chars(), minlength=256)
+                )
+
+    counts = None
+    if shared_table:
+        local = (
+            np.sum(hists, axis=0).astype(np.int64)
+            if hists
+            else np.zeros(256, np.int64)
+        )
+        if pc > 1:
+            from jax.experimental import multihost_utils
+
+            allh = np.asarray(
+                multihost_utils.process_allgather(local[None, :], tiled=True)
+            )
+            counts = allh.sum(axis=0)
+        else:
+            counts = local
+
+    env = Env(REGISTRY, AlgorithmValue("huff", {}, type="coder"))
+    payloads = []
+    with StatPhase("blockwise lzss encode"):
+        for text, f in zip(texts, factor_sets):
+            w = BitWriter()
+            enc = HuffmanCoder.Encoder(env, w, literal_feed(text, f), counts=counts)
+            encode_text(enc, w, text, f)
+            enc.finalize()
+            payloads.append(w.getvalue())
+
+    if pc > 1:
+        from jax.experimental import multihost_utils
+
+        # ordered variable-length gather: agree on the max payload size,
+        # pad every process to `chunk` rows, concatenate, slice real rows
+        local_max = np.array(
+            [max((len(p) for p in payloads), default=0)], np.int64
+        )
+        gmax = int(
+            np.asarray(
+                multihost_utils.process_allgather(local_max, tiled=True)
+            ).max()
+        )
+        arr = np.zeros((chunk, gmax), np.uint8)
+        lens = np.zeros(chunk, np.int64)
+        for j, p in enumerate(payloads):
+            arr[j, : len(p)] = np.frombuffer(p, np.uint8)
+            lens[j] = len(p)
+        garr = np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+        glens = np.asarray(multihost_utils.process_allgather(lens, tiled=True))
+        payloads = [bytes(garr[i, : glens[i]]) for i in range(nb)]
+
     return frame_streams(payloads, block_size)
 
 
