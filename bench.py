@@ -120,36 +120,70 @@ def measure(result: dict) -> None:
 
 
 def _synth_text(n: int, kind: str) -> bytes:
+    """BASELINE corpus stand-ins from etc/datasets.py (P&C downloads are
+    unreachable in this airgapped environment; these are its documented
+    --synthesize fallbacks). Real corpus files in etc/data/ take priority."""
+    import sys
+
+    etc = os.path.join(os.path.dirname(os.path.abspath(__file__)), "etc")
+    corpus = {
+        "english": "pc-english", "dna": "pc-dna", "sources": "pc-sources",
+    }.get(kind)
+    if corpus:
+        path = os.path.join(etc, "data", f"{corpus}.{n >> 20}MB")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return f.read(n)
+    sys.path.insert(0, etc)
+    from datasets import synth_dna, synth_english, synth_sources
+
     rng = np.random.default_rng(7)
     if kind == "english":
-        words = [b"the", b"of", b"and", b"compression", b"suffix", b"text",
-                 b"entropy", b"block", b"parallel", b"data"]
-        out = bytearray()
-        while len(out) < n:
-            out += words[int(rng.integers(0, len(words)))] + b" "
-        return bytes(out[:n])
+        return synth_english(rng, n)
     if kind == "dna":
-        return bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes())
+        return synth_dna(rng, n)
+    if kind == "sources":
+        return synth_sources(rng, n)
     return bytes(rng.integers(0, 256, n).astype(np.uint8).tobytes())
 
 
 def _config_metrics() -> list:
+    """BASELINE.json configs 1-5 at BASELINE-named sizes (the >=4 MiB
+    device gates open on TPU for the suffix-array pipelines). Each metric
+    reports compress AND decompress throughput (the BASELINE metric is
+    encode/decode GB/s)."""
     from tudocomp_tpu.driver import compress, decompress
 
+    big = os.environ.get("TDC_BENCH_BIG", "1") != "0"
+    mb50 = 50 << 20 if big else 4 << 20
+    mb16 = 16 << 20 if big else 2 << 20
     metrics = []
     cases = [
-        ("rle_mtf_huff_1MB_english", "rle:mtf:encode(huff)", "english", 1 << 20),
-        ("blockwise_lz78_bit_device", "blockwise(lz78(coder=bit), bs=4096)",
-         "english", 1 << 21),
-        ("lzss_lcp_huff_dna", "lzss_lcp(coder=huff)", "dna", 1 << 20),
-        ("esp_arith", "esp", "english", 1 << 18),
+        # config 1: pure streaming transforms on 1 MB english
+        ("rle_mtf_vbyte_1MB_english", "rle:mtf:encode(vbyte)", "english", 1 << 20),
+        # config 2: lz78 trie parse with bit coder on english.50MB
+        ("lz78_bit_english_50MB", "lz78(coder=bit)", "english", mb50),
+        # config 3: SA/LCP factorization + huff on P&C dna and sources
+        ("lzss_lcp_huff_dna_16MB", "lzss_lcp(coder=huff)", "dna", mb16),
+        ("lzss_lcp_huff_sources_16MB", "lzss_lcp(coder=huff)", "sources", mb16),
+        # config 4: ESP grammar (sorted SLP coder; no arithmetic stage --
+        # the d_coding axis has plain/huffman/wt/subseq, metric named
+        # accordingly)
+        ("esp_sorted_1MB", "esp", "english", 1 << 20),
+        # config 5 single-chip slice: block-parallel lzss(huff), 4 MiB
+        # blocks (device SA/factorize per block on TPU)
+        ("blockwise_lzss_huff_16MB",
+         "blockwise(lzss_lcp(coder=huff), bs=4194304, shared=1)", "dna", mb16),
     ]
     for name, algo, kind, n in cases:
         data = _synth_text(n, kind)
         t0 = time.perf_counter()
         c = compress(algo, data)
         dt = time.perf_counter() - t0
-        ok = decompress(c) == data
+        t0 = time.perf_counter()
+        d = decompress(c)
+        ddt = time.perf_counter() - t0
+        ok = d == data
         gbps = n / dt / 1e9
         metrics.append(
             {
@@ -157,6 +191,7 @@ def _config_metrics() -> list:
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / 0.125, 4),
+                "decompress_gbps": round(n / ddt / 1e9, 4),
                 "ratio_pct": round(100.0 * len(c) / n, 2),
                 "roundtrip_ok": bool(ok),
             }

@@ -85,3 +85,37 @@ def test_tail_padding_multiple_tiles():
     values = rng.integers(0, 1 << 31, (B, NT)).astype(np.uint32)
     n_words = int(nbits.sum(1).max()) // 32 + 3
     run_case(values, nbits, n_words)
+
+
+def test_packed_kernels_bit_identical():
+    """pack=2/4 byte-folding kernels match pack=1 bit-for-bit
+    (code concatenation associativity; caller guarantees len <= 32/pack)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tudocomp_tpu.ops.bitpack_pallas import pack_bytes_blocks_pallas
+
+    rng = np.random.default_rng(0)
+    B, bs = 2, 4096
+    n_words = (9 * bs + 4096 + 31) // 32
+    blocks = jnp.asarray(rng.integers(0, 256, (B, bs)).astype(np.uint8))
+    n_valid = jnp.asarray([bs, 29], np.int32)
+    for maxl, packs in [(4, (1, 2, 4, 8)), (8, (1, 2, 4)), (16, (1, 2))]:
+        tl = rng.integers(1, maxl + 1, (B, 256)).astype(np.int32)
+        tv = np.array(
+            [[rng.integers(0, 1 << l) for l in row] for row in tl], np.int32
+        )
+        hdr_w = jnp.zeros((B, 4), jnp.uint32)
+        hdr_b = jnp.asarray([13, 0], jnp.int32)
+        ref = None
+        for pack in packs:
+            w, b = pack_bytes_blocks_pallas(
+                blocks, n_valid, jnp.asarray(tv), jnp.asarray(tl),
+                hdr_w, hdr_b, n_words, interpret=True, pack=pack,
+            )
+            w, b = np.asarray(w), np.asarray(b)
+            if ref is None:
+                ref = (w, b)
+            else:
+                assert (b == ref[1]).all(), (maxl, pack)
+                assert (w == ref[0]).all(), (maxl, pack)

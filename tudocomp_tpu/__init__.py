@@ -34,6 +34,7 @@ def register_all(registry: Registry = REGISTRY) -> Registry:
         EliasDeltaCoder,
         EliasGammaCoder,
         TernaryCoder,
+        VbyteCoder,
     )
     from .compressors.chain import ChainCompressor
     from .compressors.simple import (
@@ -49,6 +50,7 @@ def register_all(registry: Registry = REGISTRY) -> Registry:
         EliasGammaCoder,
         EliasDeltaCoder,
         TernaryCoder,
+        VbyteCoder,
         NoopCompressor,
         RunLengthEncoder,
         MTFCompressor,

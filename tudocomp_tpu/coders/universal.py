@@ -230,3 +230,77 @@ class TernaryCoder:
             return np.array(
                 [self.r.read_ternary() for _ in range(count)], dtype=np.uint64
             )
+
+
+class VbyteCoder:
+    """Byte-aligned vbyte coder (id "vbyte").
+
+    NEW capability beyond the reference coder set (BASELINE config 1
+    "rle + mtf + vbyte"): integers are stored in the 7-bits-per-byte
+    continuation format of util/vbyte.hpp:29-40 (the same bytes rle
+    writes for run lengths), literals as raw 8-bit bytes, BitRange as a
+    full '0'/'1'-style byte — the stream stays byte-aligned throughout,
+    which makes `rle:mtf:encode(vbyte)` a pure streaming byte pipeline.
+    """
+
+    @classmethod
+    def meta(cls) -> Meta:
+        return Meta("coder", "vbyte", "7-bit-per-byte varint encoding")
+
+    class Encoder(Encoder):
+        def encode(self, v, r: Range) -> None:
+            if isinstance(r, BitRange):
+                self.w.write_int(1 if v else 0, 8)
+            elif isinstance(r, LiteralRange):
+                self.w.write_int(int(v) & 0xFF, 8)
+            else:
+                v = int(v) - r.min
+                while True:
+                    b = v & 0x7F
+                    v >>= 7
+                    self.w.write_int(b | (0x80 if v else 0), 8)
+                    if not v:
+                        break
+
+        def encode_array(self, values, r: Range) -> None:
+            values = np.asarray(values, dtype=np.uint64)
+            if isinstance(r, BitRange):
+                self.w.write_ints((values != 0).astype(np.uint64), 8)
+            elif isinstance(r, LiteralRange):
+                self.w.write_ints(values & np.uint64(0xFF), 8)
+            else:
+                for v in values:
+                    self.encode(int(v), r)
+
+        def tokens(self, values, r):
+            from .base import TokenStream
+
+            values = np.asarray(values, dtype=np.uint64)
+            if isinstance(r, BitRange):
+                return TokenStream((values != 0).astype(np.uint64), 8, None)
+            if isinstance(r, LiteralRange):
+                return TokenStream(values & np.uint64(0xFF), 8, None)
+            return None
+
+    class Decoder(Decoder):
+        def decode(self, r: Range) -> int:
+            if isinstance(r, BitRange):
+                return 1 if self.r.read_int(8) else 0
+            if isinstance(r, LiteralRange):
+                return self.r.read_int(8)
+            v = 0
+            shift = 0
+            while True:
+                b = self.r.read_int(8)
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not (b & 0x80):
+                    break
+            return v + r.min
+
+        def decode_array(self, count: int, r: Range) -> np.ndarray:
+            if isinstance(r, BitRange):
+                return (self.r.read_ints(count, 8) != 0).astype(np.uint64)
+            if isinstance(r, LiteralRange):
+                return self.r.read_ints(count, 8)
+            return np.array([self.decode(r) for _ in range(count)], dtype=np.uint64)

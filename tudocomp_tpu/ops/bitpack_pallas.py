@@ -273,6 +273,54 @@ def _pack_bytes_kernel(
         _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp, incl, rsum)
 
 
+def _pack_bytes_packed_kernel(
+    by_ref, tp_ref, hdr_ref, sc_ref, w_ref, bits_ref, carry, *, n_words, nwp, pack
+):
+    """Fused lookup + pack with `pack` bytes folded into each token.
+
+    When every code length is <= 32/pack bits, `pack` adjacent bytes'
+    codewords concatenate into one <=32-bit token (bit-stream equivalence:
+    code concatenation is associative), dividing the scan + scatter work
+    and the grid-step count by `pack`. The (code, len) pair also rides ONE
+    packed i32 table entry ((code << 6) | len), halving the 256-way select
+    cost vs the two-table kernel. by_ref [1,1,UNROLL,pack,8,128] holds
+    plane p = bytes at flat index token*pack + p.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        w_ref[...] = hdr_ref[...]
+        carry[0] = sc_ref[0, 0, 0]
+
+    sym = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 256), 2)
+    tp = tp_ref[0][None, :, :]  # [1,1,256] i32 packed (code<<6)|len
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    n_valid_s = sc_ref[0, 0, 1]
+    pre = []
+    for u in range(UNROLL):
+        acc_v = jnp.zeros((8, 128), jnp.uint32)
+        acc_n = jnp.zeros((8, 128), jnp.int32)
+        tok = (t * UNROLL + u) * TILE + subl * 128 + lane
+        for p in range(pack):
+            by = by_ref[0, 0, u, p]  # [8, 128] i32
+            oh = by[:, :, None] == sym
+            packed = jnp.sum(jnp.where(oh, tp, 0), axis=2)
+            vp = (packed >> 6).astype(jnp.uint32)
+            np_ = packed & 63
+            live = tok * pack + p < n_valid_s
+            vp = jnp.where(live, vp, jnp.uint32(0))
+            np_ = jnp.where(live, np_, 0)
+            # MSB-first: earlier byte's code sits above the later one
+            acc_v = (acc_v << np_.astype(jnp.uint32)) | vp
+            acc_n = acc_n + np_
+        incl, rsum = _tile_scan(acc_n)
+        pre.append((acc_v, acc_n, incl, rsum))
+    for v, nb, incl, rsum in pre:
+        _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp, incl, rsum)
+
+
 def pack_bytes_blocks_pallas(
     blocks,
     n_valid,
@@ -282,6 +330,7 @@ def pack_bytes_blocks_pallas(
     hdr_bits,
     n_words: int,
     interpret: bool = False,
+    pack: int = 1,
 ):
     """Fused encode: [B, bs] u8 blocks + per-block symbol tables + packed
     header arenas -> ([B, n_words] u32, [B] total_bits).
@@ -290,22 +339,73 @@ def pack_bytes_blocks_pallas(
     live byte, appended after the header bit stream, packed MSB-first
     (io/BitOStream.hpp:79-88). hdr_words must hold the header's packed
     words (hdr_bits bits); symbol bits continue at offset hdr_bits.
+
+    pack > 1 folds `pack` adjacent bytes per token (packed-table kernel);
+    the CALLER must guarantee every table_bits entry <= 32 // pack. Output
+    is bit-identical across pack values.
     """
     B, bs = blocks.shape
-    step = TILE * UNROLL
+    step = TILE * UNROLL * pack
     bsp = -(-bs // step) * step
     if bsp != bs:
         blocks = jnp.pad(blocks, ((0, 0), (0, bsp - bs)))
     T = bsp // step
     NWp = -(-n_words // 128) * 128 + WIN_T + 128
 
-    by4 = blocks.astype(jnp.int32).reshape(B, T, UNROLL, 8, 128)
     hdr = jnp.zeros((B, 1, NWp), jnp.uint32)
     hdr = hdr.at[:, 0, : hdr_words.shape[1]].set(hdr_words)
     sc = jnp.stack(
         [hdr_bits.astype(jnp.int32), n_valid.astype(jnp.int32)], axis=1
     )[:, None, :]  # [B, 1, 2]
 
+    if pack > 1:
+        # plane p of token j = byte j*pack + p
+        byp = (
+            blocks.astype(jnp.int32)
+            .reshape(B, T, UNROLL, TILE, pack)
+            .transpose(0, 1, 2, 4, 3)
+            .reshape(B, T, UNROLL, pack, 8, 128)
+        )
+        tpk = (table_vals.astype(jnp.int32) << 6) | table_bits.astype(jnp.int32)
+        words, bits = pl.pallas_call(
+            partial(
+                _pack_bytes_packed_kernel, n_words=n_words, nwp=NWp, pack=pack
+            ),
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, UNROLL, pack, 8, 128),
+                    lambda b, t: (b, t, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 256), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, NWp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, 1, NWp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, 1, NWp), jnp.uint32),
+                jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            ),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+            interpret=interpret,
+        )(byp, tpk[:, None, :], hdr, sc)
+        return words[:, 0, :n_words], bits[:, 0, 0]
+
+    by4 = blocks.astype(jnp.int32).reshape(B, T, UNROLL, 8, 128)
     words, bits = pl.pallas_call(
         partial(_pack_bytes_kernel, n_words=n_words, nwp=NWp),
         grid=(B, T),

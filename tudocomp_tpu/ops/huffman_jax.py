@@ -438,8 +438,27 @@ def _encode_with_tables(
         else:
             hdr_words = jnp.zeros((B, 1), jnp.uint32)
             hdr_bits = jnp.zeros((B,), jnp.int32)
-        return pack_bytes_blocks_pallas(
-            blocks, n_valid, tbl_v, tbl_nb, hdr_words, hdr_bits, n_words
+        # kernel-variant dispatch on the batch's longest code: when every
+        # code fits 8 (16) bits, 4 (2) adjacent bytes fold into one token,
+        # dividing scan/scatter work and grid steps by the pack factor
+        # (bit-identical output; see bitpack_pallas._pack_bytes_packed_kernel).
+        # lax.cond keeps the choice on device - no host sync in the stream.
+        maxlen = jnp.max(tbl_nb)
+        args = (blocks, n_valid, tbl_v, tbl_nb, hdr_words, hdr_bits)
+
+        def run(pack):
+            return lambda a: pack_bytes_blocks_pallas(*a, n_words, pack=pack)
+
+        return jax.lax.cond(
+            maxlen <= 4,
+            run(8),
+            lambda a: jax.lax.cond(
+                maxlen <= 8,
+                run(4),
+                lambda a2: jax.lax.cond(maxlen <= 16, run(2), run(1), a2),
+                a,
+            ),
+            args,
         )
 
     c = blocks.astype(jnp.int32)

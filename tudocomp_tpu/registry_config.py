@@ -15,6 +15,8 @@ from itertools import product
 
 # Coder groups (etc/registry_config.py:13-37)
 UNIVERSAL_CODERS = ["ascii", "bit", "gamma", "delta"]
+# NEW beyond the reference: byte-aligned varint coder (BASELINE config 1)
+EXTRA_CODERS = ["vbyte"]
 ENTROPY_CODERS = ["huff"]
 CONSUMING_ENTROPY_CODERS = ["arithmetic", "sle"]
 NON_CONSUMING_CODERS = UNIVERSAL_CODERS + ENTROPY_CODERS
@@ -75,7 +77,7 @@ def compressor_matrix(fast: bool = False) -> list[str]:
 
     ids: list[str] = []
     ids += ["noop", "rle", "mtf"]
-    ids += [f"encode(coder={c})" for c in ALL_CODERS]
+    ids += [f"encode(coder={c})" for c in ALL_CODERS + EXTRA_CODERS]
     ids += ["bwt"]
     for c, t in product(uni, tries):
         ids.append(f"lz78(coder={c}, lz78trie={t})")
