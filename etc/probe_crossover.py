@@ -36,6 +36,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,4,16")
     ap.add_argument("--kind", default="english")
+    ap.add_argument("--stages", default="sa,fact", help="comma subset of sa,fact")
     args = ap.parse_args()
 
     import jax
@@ -63,15 +64,18 @@ def main():
         sa_h = np.empty(n, np.int32)
         t_sa_host = timed(lambda: lib.tdc_sais(text, n, sa_h), lambda: None)
 
+        stages = args.stages.split(",")
         # device SA (prefix doubling)
         dt_text = jnp.asarray(text)
-        f_sa = jax.jit(suffix_array_jax)
-        out = [None]
-        def dev_sa():
-            out[0] = f_sa(dt_text)
-        t_sa_dev = timed(dev_sa, lambda: np.asarray(out[0]).sum())
-        sa_d = np.asarray(out[0]).astype(np.int32)
-        assert (sa_d == sa_h).all(), "device SA mismatch"
+        t_sa_dev = -1.0
+        if "sa" in stages:
+            f_sa = jax.jit(suffix_array_jax)
+            out = [None]
+            def dev_sa():
+                out[0] = f_sa(dt_text)
+            t_sa_dev = timed(dev_sa, lambda: np.asarray(out[0]).sum())
+            sa_d = np.asarray(out[0]).astype(np.int32)
+            assert (sa_d == sa_h).all(), "device SA mismatch"
 
         # host factorize inputs
         isa = np.empty(n, np.int32); isa[sa_h] = np.arange(n, dtype=np.int32)
@@ -84,12 +88,14 @@ def main():
             lambda: None, iters=1,
         )
 
-        dsa = jnp.asarray(sa_h); disa = jnp.asarray(isa); dlcp = jnp.asarray(lcp.astype(np.int32))
-        f_cand = jax.jit(lambda s, i, l: lzss_lcp_candidates(s, i, l, 3))
-        o2 = [None]
-        def dev_cand():
-            o2[0] = f_cand(dsa, disa, dlcp)
-        t_fact_dev = timed(dev_cand, lambda: [np.asarray(x).sum() for x in o2[0]], iters=1)
+        t_fact_dev = -1.0
+        if "fact" in stages:
+            dsa = jnp.asarray(sa_h); disa = jnp.asarray(isa); dlcp = jnp.asarray(lcp.astype(np.int32))
+            f_cand = jax.jit(lambda s, i, l: lzss_lcp_candidates(s, i, l, 3))
+            o2 = [None]
+            def dev_cand():
+                o2[0] = f_cand(dsa, disa, dlcp)
+            t_fact_dev = timed(dev_cand, lambda: [np.asarray(x).sum() for x in o2[0]], iters=1)
 
         row = {
             "mb": mb, "kind": args.kind,

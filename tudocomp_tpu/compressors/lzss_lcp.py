@@ -29,10 +29,19 @@ def lcp_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
     n = len(sa)
     from ..device import use_device
 
-    if n and use_device("TDC_DEVICE_LZSS", min_n=1 << 22, n=n):
+    import os
+
+    if (
+        n
+        and os.environ.get("TDC_DEVICE_LZSS") == "1"
+        and use_device("TDC_DEVICE_LZSS", n=n)
+    ):
         # device factorization: parallel ANSV + orbit-doubling greedy parse
-        # (ops/lzss_jax.py); bit-identical factors to the native path;
-        # default on TPU, opt-out TDC_DEVICE_LZSS=0
+        # (ops/lzss_jax.py); bit-identical factors to the native path.
+        # OPT-IN (TDC_DEVICE_LZSS=1): measured on v5e
+        # (etc/probe_crossover.py, host-fetch syncs) the gather-bound
+        # doubling walk ran 8.2 s vs 51 ms native at 1 MiB — the O(n) ANSV
+        # host pass wins by orders of magnitude at every size.
         from ..ops.lzss_jax import lzss_lcp_factorize_device
 
         pos, src, ln = lzss_lcp_factorize_device(sa, isa, lcp, threshold)

@@ -10,9 +10,18 @@ Per-stage env overrides (1 = force device, 0 = force host):
   TDC_DEVICE_SA, TDC_DEVICE_LZSS, TDC_DEVICE_MTF, TDC_DEVICE_RLE,
   TDC_DEVICE_HUFF, TDC_DEVICE_LZ78, TDC_DEVICE_LCPCOMP
 
-TDC_DEVICE_HUFF and TDC_DEVICE_LCPCOMP additionally gate *decode* paths
-that are opt-in only (=1 required): their gather-bound device decoders
-measured far below the host decoders on v5e.
+Default-on device stages (TPU backend, size gates apply): Huffman block
+encode (0.29-0.43 GB/s on v5e, 2.3-3.4x the per-chip target), MTF/RLE
+transforms, blockwise LZ78 lockstep parse.
+
+OPT-IN stages (=1 required) — measured slower than the tuned host paths
+on v5e (etc/probe_crossover.py, PERF.md; host-fetch syncs):
+  TDC_DEVICE_SA    prefix-doubling SA: 1.3-2x slower than native SA-IS
+                   at 1-16 MiB
+  TDC_DEVICE_LZSS  orbit-doubling factorize: ~160x slower at 1 MiB
+  TDC_DEVICE_HUFF  legacy jump-table decode path selector (the
+                   bit-serial lockstep decoder is benchmarked separately)
+  TDC_DEVICE_LCPCOMP  decode side (gather-bound chain resolve)
 """
 
 from __future__ import annotations

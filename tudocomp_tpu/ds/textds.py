@@ -14,6 +14,7 @@ sentinel, as guaranteed by Meta.uses_textds input restrictions.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -75,9 +76,17 @@ class TextDS:
                 n = len(self.text)
                 from ..device import use_device
 
-                if n and use_device("TDC_DEVICE_SA", min_n=1 << 22, n=n):
-                    # device prefix-doubling SA (radix two-key sorts under
-                    # a while_loop); default on TPU, opt-out TDC_DEVICE_SA=0
+                if (
+                    n
+                    and os.environ.get("TDC_DEVICE_SA") == "1"
+                    and use_device("TDC_DEVICE_SA", n=n)
+                ):
+                    # device prefix-doubling SA. OPT-IN (TDC_DEVICE_SA=1):
+                    # measured on v5e (etc/probe_crossover.py, english,
+                    # host-fetch syncs): host SA-IS wins at every size —
+                    # 65 ms vs 134 ms at 1 MiB, 0.45 s vs 0.58 s at 4 MiB,
+                    # 2.24 s vs 3.08 s at 16 MiB. The device path remains
+                    # for on-device pipelines that keep the text resident.
                     from .suffix_array import suffix_array_jax
 
                     self._sa = np.asarray(suffix_array_jax(self.text)).astype(
