@@ -146,10 +146,10 @@ class BlockwiseCompressor(Compressor):
         block_size, payloads = unframe_streams(inp.as_bytes())
         from ..device import use_device
 
-        # the jump-table decode is O(n log n) random gathers — measured
-        # ~0.8 MB/s on v5e vs ~70 MB/s for the native host decoder — so
-        # the device decode is opt-in (TDC_DEVICE_HUFF=1), unlike the
-        # encode side where the device wins
+        # device decode is opt-in (TDC_DEVICE_HUFF=1): the bit-serial
+        # lockstep decoder measures ~0.07 GB/s on v5e — parity with the
+        # native host decoder (PERF.md), so the host stays default; the
+        # device path serves device-resident pipelines
         if av.id_string() in (
             "encode(coder=huff)",
             "encode(huff)",
@@ -157,10 +157,16 @@ class BlockwiseCompressor(Compressor):
             "TDC_DEVICE_HUFF"
         ):
             with StatPhase("device blockwise decode"):
-                from ..ops.huffman_decode import decode_payloads_device
+                from ..ops.huffman_decode_pallas import (
+                    LANES,
+                    decode_payloads_bitserial,
+                )
 
-                for part in decode_payloads_device(payloads, max_out=block_size):
-                    out.write(np.frombuffer(part, np.uint8))
+                for lo in range(0, len(payloads), LANES):
+                    for part in decode_payloads_bitserial(
+                        payloads[lo : lo + LANES], max_out=block_size
+                    ):
+                        out.write(np.frombuffer(part, np.uint8))
                 return
         with StatPhase("blockwise decode"):
             # symmetric with the per-block driver.compress(raw=True) on the

@@ -585,6 +585,64 @@ class DRangeFit(Algorithm):
         return out
 
 
+class _ByteFeed:
+    def __init__(self, b):
+        self._b = b
+
+    def chars(self):
+        return self._b
+
+
+class DArith(Algorithm):
+    """d_coding=arith — NEW beyond the reference d_coding set (BASELINE
+    config 4 "esp + arithmetic coder"): the D array serialized as
+    big-endian ceil(bit_width/8)-byte tuples and range-coded with the
+    arithmetic coder (coders/arithmetic.py, self-framing codebook +
+    sentinel format)."""
+
+    @classmethod
+    def meta(cls) -> Meta:
+        return Meta("d_coding", "arith", "Arithmetic-coded D array encoding")
+
+    @staticmethod
+    def _coder_env():
+        from ..meta import AlgorithmValue, Env
+        from ..registry import REGISTRY
+
+        return Env(REGISTRY, AlgorithmValue("arithmetic", {}, type="coder"))
+
+    def encode(self, w, rhs, bit_width, max_value):
+        from ..coders.arithmetic import ArithmeticCoder
+        from ..ranges import literal_r
+
+        values = np.asarray(rhs, np.uint64)
+        nb = max(1, (int(bit_width) + 7) // 8)
+        w.write_compressed_int(nb)
+        shifts = ((nb - 1 - np.arange(nb)) * 8).astype(np.uint64)
+        byts = ((values[:, None] >> shifts[None, :]) & np.uint64(0xFF)).astype(
+            np.uint8
+        ).ravel()
+        enc = ArithmeticCoder.Encoder(self._coder_env(), w, _ByteFeed(byts))
+        enc.encode_array(byts, literal_r)
+        enc.finalize()
+
+    def decode(self, r, count, bit_width, max_value):
+        from ..coders.arithmetic import ArithmeticCoder
+        from ..ranges import literal_r
+
+        nb = r.read_compressed_int()
+        dec = ArithmeticCoder.Decoder(self._coder_env(), r)
+        # scalar decode consumes exactly through the U64_MAX sentinel, so
+        # the embedding stream continues cleanly after the D region
+        byts = np.array(
+            [dec.decode(literal_r) for _ in range(count * nb)], np.uint64
+        )
+        shifts = ((nb - 1 - np.arange(nb)) * 8).astype(np.uint64)
+        return (
+            (byts.reshape(count, nb) << shifts[None, :]).sum(axis=1).astype(np.int64)
+        )
+
+
 def register(registry):
     registry.register(DPlain)
     registry.register(DDiff)
@@ -592,5 +650,6 @@ def register(registry):
     registry.register(DHuffman)
     registry.register(DMonotonSubseq)
     registry.register(DRangeFit)
+    registry.register(DArith)
     registry.register(SubSeqOptimal)
     registry.register(SubSeqGreedy)

@@ -214,17 +214,30 @@ def _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp, incl=None, rsum=Non
         lower = win
 
 
-def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp):
+def _pack_kernel(v_ref, nb_ref, w_ref, bits_ref, carry, *, n_words, nwp, unroll):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         w_ref[...] = jnp.zeros(w_ref.shape, w_ref.dtype)
+        bits_ref[0, 0, 0] = 0
         carry[0] = 0
 
-    v = v_ref[0, 0].astype(jnp.uint32)  # [8, 128]
-    nb = nb_ref[0, 0].astype(jnp.int32)  # [8, 128]
-    _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp)
+    # phase-split like the byte kernel: the carry-independent scans of all
+    # sub-tiles first (independent roll chains overlap), then the
+    # carry-chained scatters. All-zero tiles (e.g. the padded tail of
+    # variable-length token streams) skip the scatter entirely.
+    pre = []
+    for u in range(unroll):
+        v = v_ref[0, 0, u].astype(jnp.uint32)  # [8, 128]
+        nb = nb_ref[0, 0, u].astype(jnp.int32)
+        incl, rsum = _tile_scan(nb)
+        pre.append((v, nb, incl, rsum))
+    for v, nb, incl, rsum in pre:
+
+        @pl.when(rsum[7, 0] > 0)
+        def _(v=v, nb=nb, incl=incl, rsum=rsum):
+            _apply_tile(v, nb, w_ref, bits_ref, carry, n_words, nwp, incl, rsum)
 
 
 def _pack_bytes_kernel(
@@ -452,17 +465,17 @@ def pack_bytes_blocks_pallas(
     return words[:, 0, :n_words], bits[:, 0, 0]
 
 
-def _pad_tokens(values, nbits):
+def _pad_tokens(values, nbits, step=TILE):
     B, NT = values.shape
-    NTp = -(-NT // TILE) * TILE
+    NTp = -(-NT // step) * step
     if NTp != NT:
         values = jnp.pad(values, ((0, 0), (0, NTp - NT)))
         nbits = jnp.pad(nbits, ((0, 0), (0, NTp - NT)))
     return values, nbits, NTp
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def pack_blocks_pallas(values, nbits, n_words: int, interpret: bool = False):
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def pack_blocks_pallas(values, nbits, n_words: int, interpret: bool = False, unroll: int = UNROLL):
     """Batched pack: [B, NT] (values, nbits) -> ([B, n_words] u32, [B] bits).
 
     Matches jax.vmap(pack_tokens)(values, nbits) bit-exactly; tokens beyond
@@ -476,21 +489,25 @@ def pack_blocks_pallas(values, nbits, n_words: int, interpret: bool = False):
         )
     values = values.astype(jnp.uint32)
     nbits = nbits.astype(jnp.int32)
-    values, nbits, NTp = _pad_tokens(values, nbits)
-    T = NTp // TILE
+    values, nbits, NTp = _pad_tokens(values, nbits, TILE * unroll)
+    T = NTp // (TILE * unroll)
     NWp = -(-n_words // 128) * 128 + WIN_T + 128
 
-    v4 = values.reshape(B, T, 8, 128)
-    n4 = nbits.reshape(B, T, 8, 128)
+    v4 = values.reshape(B, T, unroll, 8, 128)
+    n4 = nbits.reshape(B, T, unroll, 8, 128)
     words, bits = pl.pallas_call(
-        partial(_pack_kernel, n_words=n_words, nwp=NWp),
+        partial(_pack_kernel, n_words=n_words, nwp=NWp, unroll=unroll),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 8, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, unroll, 8, 128),
+                lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 8, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, unroll, 8, 128),
+                lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(

@@ -214,11 +214,13 @@ def _bitserial_pass(words, total_bits, n_chunks: int, interpret: bool = False):
 
 
 def decode_payloads_bitserial(
-    payloads: list, max_out: int, interpret: bool = False
+    payloads: list, max_out: int, interpret: bool = None
 ) -> list:
     """Decode up to LANES encode(huff) payloads in one lockstep batch.
 
     Returns the decoded bytes per payload (each <= max_out)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     nb_real = len(payloads)
     assert nb_real <= LANES, "split the container into <=1024-block batches"
     parsed = [parse_payload_tables(p) for p in payloads]

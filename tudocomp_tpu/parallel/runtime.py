@@ -228,17 +228,27 @@ def blockwise_lzss_compress(
 def blockwise_huffman_decompress(container: bytes, device: bool = False) -> bytes:
     """Decode the framed container (per-block huff decode).
 
-    device=True runs the bulk symbol decode as one batched device call
-    (jump-table + pointer-doubling kernel, ops/huffman_decode.py); host
-    parses only the per-block table headers.
+    device=True runs the bulk symbol decode through the bit-serial
+    lockstep Pallas kernel (ops/huffman_decode_pallas.py); host parses
+    only the per-block table headers.
     """
     from .blocks import unframe_streams
 
     block_size, payloads = unframe_streams(container)
     if device:
-        from ..ops.huffman_decode import decode_payloads_device
+        from ..ops.huffman_decode_pallas import (
+            LANES,
+            decode_payloads_bitserial,
+        )
 
-        return b"".join(decode_payloads_device(payloads, max_out=block_size))
+        out = []
+        for lo in range(0, len(payloads), LANES):
+            out.extend(
+                decode_payloads_bitserial(
+                    payloads[lo : lo + LANES], max_out=block_size
+                )
+            )
+        return b"".join(out)
     from ..driver import decompress
 
     out = bytearray()

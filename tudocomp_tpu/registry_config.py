@@ -55,6 +55,8 @@ ESP_SLP_CODERS = [
     "sorted(d_coding=succinct(subseq=optimal, dx_coder=plain))",
     "sorted(d_coding=succinct(subseq=greedy, dx_coder=huffman))",
     "sorted(d_coding=succinct(subseq=greedy, dx_coder=wavelet_tree))",
+    # NEW beyond the reference (BASELINE config 4 "esp + arithmetic")
+    "sorted(d_coding=arith)",
 ]
 ESP_IPD = ["std_unordered_map", "hash_map", "dynamic_size"]
 
