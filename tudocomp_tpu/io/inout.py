@@ -29,16 +29,24 @@ class Input:
         end: Optional[int] = None,
         restrictions: Optional[InputRestrictions] = None,
     ):
+        alloc = None
         if isinstance(data, Input):
             base = data._array
             restrictions = restrictions or data._restrictions
+            if not start and end is None:
+                alloc = data._alloc
         elif isinstance(data, np.ndarray):
             base = data.astype(np.uint8, copy=False)
         else:
             base = np.frombuffer(bytes(data), dtype=np.uint8)
         self._array = base[start:end] if (start or end is not None) else base
         self._restrictions = restrictions or InputRestrictions()
-        self._escaped_cache: Optional[np.ndarray] = None
+        # InputAlloc-style chunk cache (io/InputAlloc.hpp:23-111): escaped
+        # materializations are shared across every Input derived from the
+        # same (unsliced) source, so repeated restricted views of one
+        # input — e.g. a compressor calling as_array() in several stages —
+        # escape only once. Keyed by the restriction set.
+        self._alloc: dict = alloc if alloc is not None else {}
 
     # files >= this are memory-mapped instead of read (io/MMapHandle.hpp
     # capability: large corpora never fully materialize on the heap)
@@ -68,9 +76,12 @@ class Input:
         """
         if not self._restrictions.has_restrictions:
             return self._array
-        if self._escaped_cache is None:
-            self._escaped_cache = escape(self._array, self._restrictions)
-        return self._escaped_cache
+        key = (self._restrictions.escape_bytes, self._restrictions.null_terminate)
+        cached = self._alloc.get(key)
+        if cached is None:
+            cached = escape(self._array, self._restrictions)
+            self._alloc[key] = cached
+        return cached
 
     def as_bytes(self) -> bytes:
         return self.as_array().tobytes()
