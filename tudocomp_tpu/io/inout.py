@@ -62,8 +62,7 @@ class Input:
             return cls(f.read())
 
     def with_restrictions(self, rest: InputRestrictions) -> "Input":
-        inp = Input(self._array, restrictions=self._restrictions | rest)
-        return inp
+        return Input(self, restrictions=self._restrictions | rest)
 
     def size(self) -> int:
         return len(self._array)
