@@ -1852,6 +1852,244 @@ int64_t tdc_lcpcomp_heap_factorize(const int32_t* sa, const int32_t* isa,
     return nf;
 }
 
+// BoostHeap strategy ("bheap", compressors/lcpcomp/compress/BoostHeap.hpp:
+// 24-119): same greedy max-LCP selection as the heap strategy but with the
+// reference's total order — ties on LCP break toward the SMALLER text
+// position sa[i] — so the emitted factor set matches the Boost-gated
+// reference strategy exactly (any max-heap with the same comparator yields
+// the same top sequence; the order is total, so the pairing heap vs this
+// slotted binary heap is observationally identical).
+int64_t tdc_lcpcomp_bheap_factorize(const int32_t* sa, const int32_t* isa,
+                                    const int32_t* lcp, int64_t n,
+                                    int64_t threshold, uint32_t* fpos,
+                                    uint32_t* fsrc, uint32_t* flen) {
+    std::vector<int32_t> key(lcp, lcp + n);
+    std::vector<int64_t> heap;
+    std::vector<int64_t> slot((size_t)n, -1);
+    heap.reserve((size_t)n);
+
+    auto less = [&](int64_t a, int64_t b) {
+        if (key[a] != key[b]) return key[a] < key[b];
+        return sa[a] > sa[b];  // equal LCP: smaller text position wins
+    };
+    auto swap_slots = [&](int64_t i, int64_t j) {
+        std::swap(heap[i], heap[j]);
+        slot[heap[i]] = i;
+        slot[heap[j]] = j;
+    };
+    auto sift_up = [&](int64_t i) {
+        while (i > 0 && less(heap[(i - 1) / 2], heap[i])) {
+            swap_slots(i, (i - 1) / 2);
+            i = (i - 1) / 2;
+        }
+    };
+    auto sift_down = [&](int64_t i) {
+        int64_t sz = (int64_t)heap.size();
+        while (true) {
+            int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
+            if (l < sz && less(heap[m], heap[l])) m = l;
+            if (r < sz && less(heap[m], heap[r])) m = r;
+            if (m == i) break;
+            swap_slots(i, m);
+            i = m;
+        }
+    };
+    auto remove_at = [&](int64_t idx) {
+        int64_t s = slot[idx];
+        if (s < 0) return;
+        int64_t last = (int64_t)heap.size() - 1;
+        if (s != last) swap_slots(s, last);
+        slot[heap[last]] = -1;
+        heap.pop_back();
+        if (s < (int64_t)heap.size()) {
+            sift_down(s);
+            sift_up(s);
+        }
+    };
+
+    for (int64_t i = 1; i < n; ++i) {
+        if (lcp[i] >= threshold) {
+            slot[i] = (int64_t)heap.size();
+            heap.push_back(i);
+        }
+    }
+    for (int64_t i = (int64_t)heap.size() / 2 - 1; i >= 0; --i) sift_down(i);
+
+    int64_t nf = 0;
+    while (!heap.empty()) {
+        int64_t m = heap[0];
+        int64_t p = sa[m];
+        int64_t src = sa[m - 1];
+        int64_t len = key[m];
+        fpos[nf] = (uint32_t)p;
+        fsrc[nf] = (uint32_t)src;
+        flen[nf] = (uint32_t)len;
+        ++nf;
+        for (int64_t k = 0; k < len; ++k) remove_at(isa[p + k]);
+        for (int64_t k = 0; k < len && p > k; ++k) {
+            int64_t s = p - k - 1;
+            int64_t i = isa[s];
+            if (slot[i] >= 0 && s + key[i] > p) {
+                int64_t l = p - s;
+                if (l >= threshold) {
+                    key[i] = (int32_t)l;
+                    sift_down(slot[i]);
+                } else {
+                    remove_at(i);
+                }
+            }
+        }
+    }
+    return nf;
+}
+
+// PLCP peak strategy ("plcp", compressors/lcpcomp/compress/
+// PLCPStrategy.hpp:20-170): stream the PLCP array left to right, keep the
+// current ascent's peaks in a max-heap ordered by (lcp, smaller pos),
+// and when a peak group ends (i - lastpos >= lastpos_lcp) factorize the
+// peaks greedily, substituting right peaks and trimming left overlaps.
+// Semantic mirror of the Boost-gated reference strategy; the Poi order is
+// total, so the heap implementation does not affect the output.
+int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
+                                   const int32_t* plcp, int64_t n,
+                                   int64_t threshold, uint32_t* fpos,
+                                   uint32_t* fsrc, uint32_t* flen) {
+    struct Poi {
+        int64_t pos, lcp, no;
+    };
+    std::vector<Poi> pois;        // by handle number (insertion order)
+    std::vector<int64_t> slot;    // handle no -> heap slot (-1 = dead)
+    std::vector<int64_t> heap;    // heap of handle numbers
+
+    auto less = [&](int64_t a, int64_t b) {
+        if (pois[a].lcp != pois[b].lcp) return pois[a].lcp < pois[b].lcp;
+        return pois[a].pos > pois[b].pos;  // equal lcp: smaller pos wins
+    };
+    auto swap_slots = [&](int64_t i, int64_t j) {
+        std::swap(heap[i], heap[j]);
+        slot[heap[i]] = i;
+        slot[heap[j]] = j;
+    };
+    auto sift_up = [&](int64_t i) {
+        while (i > 0 && less(heap[(i - 1) / 2], heap[i])) {
+            swap_slots(i, (i - 1) / 2);
+            i = (i - 1) / 2;
+        }
+    };
+    auto sift_down = [&](int64_t i) {
+        int64_t sz = (int64_t)heap.size();
+        while (true) {
+            int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
+            if (l < sz && less(heap[m], heap[l])) m = l;
+            if (r < sz && less(heap[m], heap[r])) m = r;
+            if (m == i) break;
+            swap_slots(i, m);
+            i = m;
+        }
+    };
+    auto erase_no = [&](int64_t no) {
+        int64_t s = slot[no];
+        if (s < 0) return;
+        int64_t last = (int64_t)heap.size() - 1;
+        if (s != last) swap_slots(s, last);
+        slot[heap[last]] = -1;
+        heap.pop_back();
+        if (s < (int64_t)heap.size()) {
+            sift_down(s);
+            sift_up(s);
+        }
+    };
+    auto emplace = [&](int64_t pos, int64_t lcp, int64_t no) {
+        if ((int64_t)pois.size() <= no) {
+            pois.resize((size_t)no + 1);
+            slot.resize((size_t)no + 1, -1);
+        }
+        pois[(size_t)no] = Poi{pos, lcp, no};
+        slot[(size_t)no] = (int64_t)heap.size();
+        heap.push_back(no);
+        sift_up((int64_t)heap.size() - 1);
+    };
+
+    int64_t nf = 0;
+    int64_t lastpos = 0, lastpos_lcp = 0;
+    int64_t handle_count = 0;
+    for (int64_t i = 0; i + 1 < n; ++i) {
+        const int64_t plcp_i = plcp[i];
+        if (heap.empty()) {
+            if (plcp_i >= threshold) {
+                emplace(i, plcp_i, handle_count++);
+                lastpos = i;
+                lastpos_lcp = plcp_i;
+            }
+            continue;
+        }
+        if (i - lastpos >= lastpos_lcp || i + 1 == n) {
+            while (!heap.empty()) {
+                const Poi top = pois[(size_t)heap[0]];
+                const int64_t source = sa[isa[top.pos] - 1];
+                fpos[nf] = (uint32_t)top.pos;
+                fsrc[nf] = (uint32_t)source;
+                flen[nf] = (uint32_t)top.lcp;
+                ++nf;
+                const int64_t next_pos = top.pos;
+                {
+                    int64_t newlcp_peak = 0;
+                    bool peak_exists = false;
+                    if (top.pos + top.lcp < i) {
+                        for (int64_t j = top.no + 1; j < handle_count; ++j) {
+                            if (slot[j] < 0) continue;
+                            const Poi poi = pois[(size_t)j];
+                            if (poi.pos < next_pos + top.lcp) {
+                                erase_no(j);
+                                if (poi.lcp + poi.pos > next_pos + top.lcp) {
+                                    const int64_t remaining =
+                                        poi.lcp + poi.pos - (next_pos + top.lcp);
+                                    if (remaining > newlcp_peak)
+                                        newlcp_peak = remaining;
+                                }
+                            } else if (poi.pos == next_pos + top.lcp) {
+                                peak_exists = true;
+                            } else {
+                                break;
+                            }
+                        }
+                    }
+                    if (!peak_exists && newlcp_peak >= threshold) {
+                        emplace(next_pos + top.lcp, newlcp_peak, top.no + 1);
+                    }
+                }
+                erase_no(top.no);
+                for (int64_t j = handle_count - 1; j >= 0; --j) {
+                    if (slot[j] < 0) continue;
+                    Poi& poi = pois[(size_t)j];
+                    if (poi.pos > next_pos) continue;
+                    const int64_t newlcp = next_pos - poi.pos;
+                    if (newlcp < poi.lcp) {
+                        if (newlcp < threshold) {
+                            erase_no(j);
+                        } else {
+                            poi.lcp = newlcp;
+                            sift_down(slot[j]);
+                        }
+                    } else {
+                        break;
+                    }
+                }
+            }
+            handle_count = 0;
+            pois.clear();
+            slot.clear();
+            --i;
+            continue;
+        }
+        if (plcp_i <= lastpos_lcp) continue;
+        emplace(i, plcp_i, handle_count++);
+        lastpos = i;
+        lastpos_lcp = plcp_i;
+    }
+    return nf;
+}
+
 // FactorBuffer::flatten (lzss/LZSSFactors.hpp:79-132): rewrite factor
 // sources that point into other factors to their (transitively) flattened
 // source when fully contained. Factors must be sorted by pos.

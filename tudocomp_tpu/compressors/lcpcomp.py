@@ -138,6 +138,164 @@ def heap_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
     return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
 
 
+def bheap_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
+    """BoostHeap.hpp:24-119 ("bheap", Boost-gated in the reference): the
+    heap strategy with the reference's total order — LCP ties break toward
+    the smaller text position. Native; python heapq mirror for fallback."""
+    n = len(sa)
+    lib = native.get_lib()
+    if lib is not None and n:
+        fpos = np.empty(n, np.uint32)
+        fsrc = np.empty(n, np.uint32)
+        flen = np.empty(n, np.uint32)
+        nf = lib.tdc_lcpcomp_bheap_factorize(
+            np.ascontiguousarray(sa, np.int32),
+            np.ascontiguousarray(isa, np.int32),
+            np.ascontiguousarray(lcp, np.int32),
+            n,
+            threshold,
+            fpos,
+            fsrc,
+            flen,
+        )
+        return lzss_common.Factors(fpos[:nf].copy(), fsrc[:nf].copy(), flen[:nf].copy())
+    import heapq
+
+    key = [int(x) for x in lcp]
+    alive = [False] * n
+    h = []
+    for i in range(1, n):
+        if key[i] >= threshold:
+            alive[i] = True
+            heapq.heappush(h, (-key[i], int(sa[i]), i))
+    fpos_l, fsrc_l, flen_l = [], [], []
+    while h:
+        negk, _, m = heapq.heappop(h)
+        if not alive[m] or -negk != key[m]:
+            continue
+        p, src, ln = int(sa[m]), int(sa[m - 1]), key[m]
+        fpos_l.append(p)
+        fsrc_l.append(src)
+        flen_l.append(ln)
+        for k in range(ln):
+            alive[int(isa[p + k])] = False
+        for k in range(min(ln, p)):
+            s2 = p - k - 1
+            i = int(isa[s2])
+            if alive[i] and s2 + key[i] > p:
+                l2 = p - s2
+                if l2 >= threshold:
+                    key[i] = l2
+                    heapq.heappush(h, (-l2, s2, i))
+                else:
+                    alive[i] = False
+    return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
+
+
+def plcp_factorize_strategy(sa, isa, plcp, threshold: int) -> lzss_common.Factors:
+    """PLCPStrategy.hpp:20-170 ("plcp", Boost-gated in the reference):
+    stream PLCP, collect ascent peaks in a max-(lcp, smaller-pos) heap,
+    factorize each peak group with right-peak substitution and
+    left-overlap trimming. Native; python mirror for fallback."""
+    n = len(sa)
+    lib = native.get_lib()
+    if lib is not None and n:
+        fpos = np.empty(n, np.uint32)
+        fsrc = np.empty(n, np.uint32)
+        flen = np.empty(n, np.uint32)
+        nf = lib.tdc_lcpcomp_plcp_factorize(
+            np.ascontiguousarray(sa, np.int32),
+            np.ascontiguousarray(isa, np.int32),
+            np.ascontiguousarray(plcp, np.int32),
+            n,
+            threshold,
+            fpos,
+            fsrc,
+            flen,
+        )
+        return lzss_common.Factors(fpos[:nf].copy(), fsrc[:nf].copy(), flen[:nf].copy())
+    import heapq
+
+    fpos_l, fsrc_l, flen_l = [], [], []
+    pois: list[list[int]] = []  # no -> [pos, lcp]; lcp < 0 = dead
+    h: list[tuple[int, int, int]] = []  # (-lcp, pos, no) with lazy deletion
+
+    def alive_top():
+        while h:
+            negl, pos, no = h[0]
+            if no < len(pois) and pois[no][1] == -negl and pois[no][0] == pos:
+                return no
+            heapq.heappop(h)
+        return None
+
+    def emplace(pos, lcp, no):
+        while len(pois) <= no:
+            pois.append([0, -1])
+        pois[no] = [pos, lcp]
+        heapq.heappush(h, (-lcp, pos, no))
+
+    lastpos = 0
+    lastpos_lcp = 0
+    i = 0
+    while i + 1 < n:
+        plcp_i = int(plcp[i])
+        if alive_top() is None:
+            if plcp_i >= threshold:
+                emplace(i, plcp_i, len(pois))
+                lastpos, lastpos_lcp = i, plcp_i
+            i += 1
+            continue
+        if i - lastpos >= lastpos_lcp or i + 1 == n:
+            while (top_no := alive_top()) is not None:
+                top_pos, top_lcp = pois[top_no]
+                fpos_l.append(top_pos)
+                fsrc_l.append(int(sa[int(isa[top_pos]) - 1]))
+                flen_l.append(top_lcp)
+                newlcp_peak = 0
+                peak_exists = False
+                if top_pos + top_lcp < i:
+                    for j in range(top_no + 1, len(pois)):
+                        if pois[j][1] < 0:
+                            continue
+                        pj, lj = pois[j]
+                        if pj < top_pos + top_lcp:
+                            pois[j][1] = -1
+                            if lj + pj > top_pos + top_lcp:
+                                newlcp_peak = max(
+                                    newlcp_peak, lj + pj - (top_pos + top_lcp)
+                                )
+                        elif pj == top_pos + top_lcp:
+                            peak_exists = True
+                        else:
+                            break
+                if not peak_exists and newlcp_peak >= threshold:
+                    emplace(top_pos + top_lcp, newlcp_peak, top_no + 1)
+                pois[top_no][1] = -1
+                for j in range(len(pois) - 1, -1, -1):
+                    if pois[j][1] < 0:
+                        continue
+                    pj, lj = pois[j]
+                    if pj > top_pos:
+                        continue
+                    newlcp = top_pos - pj
+                    if newlcp < lj:
+                        if newlcp < threshold:
+                            pois[j][1] = -1
+                        else:
+                            pois[j][1] = newlcp
+                            heapq.heappush(h, (-newlcp, pj, j))
+                    else:
+                        break
+            pois.clear()
+            h.clear()
+            continue  # reprocess i with an empty heap
+        if plcp_i > lastpos_lcp:
+            emplace(i, plcp_i, len(pois))
+            lastpos, lastpos_lcp = i, plcp_i
+        i += 1
+    return lzss_common.Factors(fpos_l, fsrc_l, flen_l)
+
+
 def maxlcp_factorize(sa, isa, lcp, threshold: int) -> lzss_common.Factors:
     """MaxLCPStrategy.hpp:22-99 over MaxLCPSuffixList.hpp (native); the tie
     order among equal-LCP entries is most-recent-first (bucket-front
@@ -292,6 +450,8 @@ COMP_STRATEGIES = [
     _make_axis("lcpcomp_comp", "heap", "Max-LCP heap strategy"),
     _make_axis("lcpcomp_comp", "max_lcp", "Max-LCP suffix list strategy"),
     _make_axis("lcpcomp_comp", "plcppeaks", "PLCP peaks strategy"),
+    _make_axis("lcpcomp_comp", "bheap", "Heap strategy, smaller-pos tie order (BoostHeap)"),
+    _make_axis("lcpcomp_comp", "plcp", "Streaming PLCP peak-group strategy"),
 ]
 DEC_STRATEGIES = [
     _make_axis("lcpcomp_dec", "scan", "Lazy scans + eager decoding", (("scans", 6),)),
@@ -332,7 +492,7 @@ class LCPCompressor(Compressor):
             ds = make_textds(self, text)
             sa = ds.require_sa()
             isa = ds.require_isa()
-            if comp_name == "plcppeaks":
+            if comp_name in ("plcppeaks", "plcp"):
                 plcp = ds.require_plcp()
             else:
                 lcp = ds.require_lcp()
@@ -342,6 +502,10 @@ class LCPCompressor(Compressor):
         with StatPhase("Factorize") as ph:
             if comp_name == "heap":
                 factors = heap_factorize(sa, isa, lcp, threshold)
+            elif comp_name == "bheap":
+                factors = bheap_factorize(sa, isa, lcp, threshold)
+            elif comp_name == "plcp":
+                factors = plcp_factorize_strategy(sa, isa, plcp, threshold)
             elif comp_name == "max_lcp":
                 factors = maxlcp_factorize(sa, isa, lcp, threshold)
             elif comp_name == "plcppeaks":

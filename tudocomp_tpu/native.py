@@ -166,6 +166,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u32p,
         u32p,
     ]
+    for fct in ("tdc_lcpcomp_bheap_factorize", "tdc_lcpcomp_plcp_factorize"):
+        fn = getattr(lib, fct)
+        fn.restype = i64
+        fn.argtypes = [i32p, i32p, i32p, i64, i64, u32p, u32p, u32p]
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.tdc_lzss_stream_parse.restype = i64
     lib.tdc_lzss_stream_parse.argtypes = [

@@ -38,7 +38,9 @@ LZ78_TRIES = [
 
 # lcpcomp axes (etc/registry_config.py:139-166)
 LCPCOMP_CODERS = ["ascii", "sle", "huff"]
-LCPCOMP_COMP = ["heap", "max_lcp", "arrays", "plcppeaks"]
+# bheap + plcp are Boost-gated optional strategies in the reference
+# (etc/registry_config.py:152-156); always available here
+LCPCOMP_COMP = ["heap", "max_lcp", "arrays", "plcppeaks", "bheap", "plcp"]
 LCPCOMP_DEC = ["scan", "QueueListBuffer", "compact", "MultimapListBuffer"]
 
 # esp axes (etc/registry_config.py:174-205)
