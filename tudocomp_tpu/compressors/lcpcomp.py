@@ -509,11 +509,14 @@ class LCPCompressor(Compressor):
             elif comp_name == "max_lcp":
                 factors = maxlcp_factorize(sa, isa, lcp, threshold)
             elif comp_name == "plcppeaks":
-                if len(sa) and use_device(
-                    "TDC_DEVICE_LCPCOMP", min_n=1 << 22, n=len(sa)
-                ):
+                if len(sa) and os.environ.get(
+                    "TDC_DEVICE_LCPCOMP"
+                ) == "1" and use_device("TDC_DEVICE_LCPCOMP", n=len(sa)):
                     # device orbit-doubling walk, bit-identical factors;
-                    # the PQ strategies (arrays/heap/max_lcp) mutate LCP
+                    # OPT-IN (TDC_DEVICE_LCPCOMP=1): measured 4.85 s vs
+                    # 0.04 s host at 4 MiB english on v5e (the doubling
+                    # gathers, like the lzss candidates walk, lose badly).
+                    # The PQ strategies (arrays/heap/max_lcp) mutate LCP
                     # after every pick and stay host-side by design
                     from ..ops.lcpcomp_jax import plcppeaks_factorize_device
 

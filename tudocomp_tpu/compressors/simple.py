@@ -54,7 +54,9 @@ def rle_encode(data: np.ndarray, offset: int = 0) -> np.ndarray:
         return data
     from ..device import use_device
 
-    if use_device("TDC_DEVICE_RLE", min_n=1 << 22, n=n):
+    # crossover measured on v5e (PERF.md): host run-detection wins at
+    # 4 MiB (36 ms vs 116 ms), device wins at 16 MiB (408 ms vs 691 ms)
+    if use_device("TDC_DEVICE_RLE", min_n=1 << 24, n=n):
         import jax.numpy as jnp
 
         from ..ops.transforms import rle_runs_device
