@@ -1852,6 +1852,29 @@ int64_t tdc_lcpcomp_heap_factorize(const int32_t* sa, const int32_t* isa,
     return nf;
 }
 
+// SLP::derive_text (esp/SLP.hpp:25-38): expand the straight-line program
+// from the root with an explicit stack; symbols < 256 are terminals,
+// rule x >= 256 expands to (l[x-256], r[x-256]).
+int64_t tdc_esp_derive(const int32_t* rl, const int32_t* rr,
+                       int64_t /*n_rules*/, int64_t root, uint8_t* out,
+                       int64_t out_cap) {
+    std::vector<int32_t> stack;
+    stack.push_back((int32_t)root);
+    int64_t n = 0;
+    while (!stack.empty()) {
+        int32_t x = stack.back();
+        stack.pop_back();
+        if (x < 256) {
+            if (n >= out_cap) return -1;
+            out[n++] = (uint8_t)x;
+        } else {
+            stack.push_back(rr[x - 256]);
+            stack.push_back(rl[x - 256]);
+        }
+    }
+    return n;
+}
+
 // BoostHeap strategy ("bheap", compressors/lcpcomp/compress/BoostHeap.hpp:
 // 24-119): same greedy max-LCP selection as the heap strategy but with the
 // reference's total order — ties on LCP break toward the SMALLER text

@@ -290,7 +290,24 @@ def generate_grammar(data: np.ndarray):
 
 
 def derive_text(rules: np.ndarray, root: int) -> bytes:
-    """SLP::derive_text (esp/SLP.hpp:25-38), iterative."""
+    """SLP::derive_text (esp/SLP.hpp:25-38), iterative (native stack walk
+    when the lib is built; identical python mirror otherwise)."""
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "tdc_esp_derive"):
+        rl = np.ascontiguousarray(rules[:, 0], np.int32) if len(rules) else np.zeros(1, np.int32)
+        rr = np.ascontiguousarray(rules[:, 1], np.int32) if len(rules) else np.zeros(1, np.int32)
+        # expansion length: each of the R rules adds one extra symbol
+        # beyond its left child's expansion, so |text| <= R + 1; pad for
+        # degenerate roots
+        cap = max(16, 2 * (len(rules) + 1))
+        while True:
+            out = np.empty(cap, np.uint8)
+            n = lib.tdc_esp_derive(rl, rr, len(rules), int(root), out, cap)
+            if n >= 0:
+                return out[:n].tobytes()
+            cap *= 2
     out = bytearray()
     stack = [int(root)]
     while stack:
