@@ -14,6 +14,8 @@ per-block bit counts cross DCN).
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 
 import jax
@@ -156,22 +158,36 @@ def blockwise_lzss_compress(
     # lzss_lcp textds restrictions: escape \0, append sentinel (applied
     # per block, mirroring the per-block driver.compress on the host path)
     rest = InputRestrictions((0,), True)
-    texts, factor_sets, hists = [], [], []
+
+    def _one(i):
+        inp = Input(bytes(blocks[i, : n_valid[i]])).with_restrictions(rest)
+        text = inp.as_array()
+        ds = TextDS(text)
+        f = lcp_factorize(
+            ds.require_sa(), ds.require_isa(), ds.require_lcp(), threshold
+        )
+        h = (
+            np.bincount(literal_feed(text, f).chars(), minlength=256)
+            if shared_table
+            else None
+        )
+        return text, f, h
+
     with StatPhase("blockwise lzss factorize") as ph:
         ph.log("blocks_local", hi - lo)
-        for i in range(lo, hi):
-            inp = Input(bytes(blocks[i, : n_valid[i]])).with_restrictions(rest)
-            text = inp.as_array()
-            ds = TextDS(text)
-            f = lcp_factorize(
-                ds.require_sa(), ds.require_isa(), ds.require_lcp(), threshold
-            )
-            texts.append(text)
-            factor_sets.append(f)
-            if shared_table:
-                hists.append(
-                    np.bincount(literal_feed(text, f).chars(), minlength=256)
-                )
+        # thread pool: the heavy stages (native SA-IS/PLCP/ANSV, numpy)
+        # release the GIL, so blocks factorize core-parallel per process
+        import concurrent.futures as cf
+
+        workers = min(os.cpu_count() or 1, max(1, hi - lo))
+        if workers > 1:
+            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+                results = list(ex.map(_one, range(lo, hi)))
+        else:
+            results = [_one(i) for i in range(lo, hi)]
+    texts = [r[0] for r in results]
+    factor_sets = [r[1] for r in results]
+    hists = [r[2] for r in results if r[2] is not None]
 
     counts = None
     if shared_table:
