@@ -171,17 +171,32 @@ class BlockwiseCompressor(Compressor):
         with StatPhase("blockwise decode"):
             # symmetric with the per-block driver.compress(raw=True) on the
             # encode side: inner restriction wrapping (escaping/sentinel)
-            # is applied per block
+            # is applied per block; blocks are independent, so decode runs
+            # thread-parallel (the native decoders release the GIL)
             from ..driver import decompress as driver_decompress
 
             inner_id = av.id_string()
-            for p in payloads:
-                out.write(
-                    np.frombuffer(
-                        driver_decompress(p, id_string=inner_id, raw=True),
-                        np.uint8,
+            if len(payloads) > 1 and (os.cpu_count() or 1) > 1:
+                import concurrent.futures as cf
+
+                with cf.ThreadPoolExecutor(
+                    max_workers=min(8, os.cpu_count() or 1)
+                ) as ex:
+                    parts = list(
+                        ex.map(
+                            lambda p: driver_decompress(
+                                p, id_string=inner_id, raw=True
+                            ),
+                            payloads,
+                        )
                     )
-                )
+            else:
+                parts = [
+                    driver_decompress(p, id_string=inner_id, raw=True)
+                    for p in payloads
+                ]
+            for part in parts:
+                out.write(np.frombuffer(part, np.uint8))
 
 
 def register(registry):
