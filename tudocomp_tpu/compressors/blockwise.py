@@ -57,6 +57,16 @@ def _host_compress_blocks(inner_id: str, blocks, n_valid) -> list:
         ]
     import concurrent.futures as cf
     import multiprocessing as mp
+    import sys
+
+    # spawn re-imports __main__; interactive/stdin parents cannot be
+    # re-imported, so the pool would only produce noisy child failures
+    main_file = getattr(sys.modules.get("__main__"), "__file__", None)
+    if main_file is None or not os.path.exists(main_file):
+        return [
+            compress(inner_id, bytes(blocks[i, : n_valid[i]]), raw=True)
+            for i in range(nb)
+        ]
 
     try:
         workers = int(procs_env) if procs_env else min(8, os.cpu_count() or 1)
