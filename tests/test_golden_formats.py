@@ -127,3 +127,36 @@ def test_golden_encode_huff_degenerate():
 def test_golden_cli_container():
     full = compress("rle", b"aaaabbc")
     assert full == b"rle%aa\x02bb\x00c"
+
+
+# ---------------------------------------------------------------------------
+# Universal coders on literals — EliasGammaCoder.hpp:11 / EliasDeltaCoder.hpp
+# :11 apply the respective code to every non-bit range (literals included);
+# TernaryCoder.hpp:7 decrements v then writes its base-3 digits
+# as 2-bit codes LSB-digit-first with a "11" terminator
+# (BitOStream.hpp:113-123).
+
+
+def test_golden_encode_gamma():
+    # NB the reference's write_unary(v) emits v ZEROS then a 1
+    # (BitOStream.hpp:105-111), so its gamma is the redundant form
+    # unary(bits_for(v)) + v @ bits_for(v).
+    # gamma(97) = "00000001"+"1100001" (15 bits); gamma(98) likewise
+    # -> 30 bits: 01 C2 03, then 6 bits "100010" -> flush 0x88 + count
+    # byte 0x06 (6 valid bits > 5 -> separate marker byte)
+    assert roundtrip_raw("encode(gamma)", b"ab") == bytes(
+        [0x01, 0xC2, 0x03, 0x88, 0x06]
+    )
+
+
+def test_golden_encode_delta():
+    # delta(97) = gamma(7)="0001"+"111" then 97@7="1100001" (14 bits)
+    # -> 28 bits: 1F 84 7E, final byte 0010.. (4 bits) -> 0x24
+    assert roundtrip_raw("encode(delta)", b"ab") == bytes([0x1F, 0x84, 0x7E, 0x24])
+
+
+def test_golden_encode_ternary():
+    # ternary(97): v=96 -> base-3 LSB digits [0,2,1,0,1] -> 00 10 01 00 01
+    # + terminator 11; ternary(98): [1,2,1,0,1] -> 01 10 01 00 01 + 11
+    # -> 24 bits 24 76 47, aligned -> trailing 0x00
+    assert roundtrip_raw("encode(ternary)", b"ab") == bytes([0x24, 0x76, 0x47, 0x00])
