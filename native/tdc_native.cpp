@@ -1852,6 +1852,26 @@ int64_t tdc_lcpcomp_heap_factorize(const int32_t* sa, const int32_t* isa,
     return nf;
 }
 
+// Canonical-code index decode over an unpacked bit array (the esp huff2
+// D-coding decoder loop, esp/HuffmanCoder.hpp decode semantics): first-
+// match rule value >= firstcode[len]; emits the ordered-symbol INDEX
+// psl[len-1] + value - firstcode[len-1] so the caller maps through any
+// symbol alphabet. Returns the new bit position.
+int64_t tdc_canonical_decode_idx(const uint8_t* bits, int64_t pos,
+                                 const int64_t* fc, const int64_t* psl,
+                                 int64_t longest, int32_t* out_idx,
+                                 int64_t count) {
+    for (int64_t i = 0; i < count; ++i) {
+        int64_t value = 0, len = 0;
+        do {
+            value = (value << 1) | bits[pos++];
+            ++len;
+        } while (len < longest && value < fc[len - 1]);
+        out_idx[i] = (int32_t)(psl[len - 1] + value - fc[len - 1]);
+    }
+    return pos;
+}
+
 // SLP::derive_text (esp/SLP.hpp:25-38): expand the straight-line program
 // from the root with an explicit stack; symbols < 256 are terminals,
 // rule x >= 256 expands to (l[x-256], r[x-256]).

@@ -254,6 +254,22 @@ class DHuffman(Algorithm):
         psl = np.concatenate([[0], np.cumsum(numl)[:-1]])
         bits = r._bits
         pos = r.pos
+        from .. import native
+
+        lib = native.get_lib()
+        if lib is not None and count:
+            idx = np.empty(count, np.int32)
+            pos = lib.tdc_canonical_decode_idx(
+                np.ascontiguousarray(bits, np.uint8),
+                pos,
+                np.ascontiguousarray(firstcodes, np.int64),
+                np.ascontiguousarray(psl, np.int64),
+                int(longest),
+                idx,
+                count,
+            )
+            r._pos = pos
+            return syms[idx]
         out = np.zeros(count, np.int64)
         fc = firstcodes.tolist()
         for i in range(count):
