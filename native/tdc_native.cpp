@@ -1036,6 +1036,69 @@ struct CompactSparseHashTrie {
 
 }  // extern "C" (templates below need C++ linkage)
 
+// Slotted binary max-heap with erase/decrease-key by ELEMENT INDEX — the
+// shared engine of the lcpcomp heap strategies (heap/bheap/plcp). The
+// operation sequences are identical to the previous per-function copies,
+// so emitted factor sets are unchanged; for bheap/plcp the order is total
+// anyway, making the heap implementation unobservable.
+template <class Less>
+struct SlottedMaxHeap {
+    std::vector<int64_t> heap;  // heap of element indices
+    std::vector<int64_t> slot;  // element index -> heap position (-1 = out)
+    Less less;
+    SlottedMaxHeap(int64_t n, Less l) : slot((size_t)n, -1), less(l) {}
+    bool empty() const { return heap.empty(); }
+    int64_t top() const { return heap[0]; }
+    bool contains(int64_t idx) const { return slot[idx] >= 0; }
+    void swap_slots(int64_t i, int64_t j) {
+        std::swap(heap[i], heap[j]);
+        slot[heap[i]] = i;
+        slot[heap[j]] = j;
+    }
+    void sift_up(int64_t i) {
+        while (i > 0 && less(heap[(i - 1) / 2], heap[i])) {
+            swap_slots(i, (i - 1) / 2);
+            i = (i - 1) / 2;
+        }
+    }
+    void sift_down(int64_t i) {
+        int64_t sz = (int64_t)heap.size();
+        while (true) {
+            int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
+            if (l < sz && less(heap[m], heap[l])) m = l;
+            if (r < sz && less(heap[m], heap[r])) m = r;
+            if (m == i) break;
+            swap_slots(i, m);
+            i = m;
+        }
+    }
+    void push_raw(int64_t idx) {  // bulk insert; call heapify() after
+        slot[idx] = (int64_t)heap.size();
+        heap.push_back(idx);
+    }
+    void heapify() {
+        for (int64_t i = (int64_t)heap.size() / 2 - 1; i >= 0; --i)
+            sift_down(i);
+    }
+    void push(int64_t idx) {
+        push_raw(idx);
+        sift_up((int64_t)heap.size() - 1);
+    }
+    void erase(int64_t idx) {
+        int64_t s = slot[idx];
+        if (s < 0) return;
+        int64_t last = (int64_t)heap.size() - 1;
+        if (s != last) swap_slots(s, last);
+        slot[heap[last]] = -1;
+        heap.pop_back();
+        if (s < (int64_t)heap.size()) {
+            sift_down(s);
+            sift_up(s);
+        }
+    }
+};
+
+
 // The parse loops, shared by every trie backend. Factor ids are
 // creation-ordered in every trie, so the emitted factors are identical
 // across backends (the reference documents and tests the same property,
@@ -1775,58 +1838,15 @@ int64_t tdc_lcpcomp_heap_factorize(const int32_t* sa, const int32_t* isa,
                                    int64_t threshold, uint32_t* fpos,
                                    uint32_t* fsrc, uint32_t* flen) {
     std::vector<int32_t> key(lcp, lcp + n);
-    std::vector<int64_t> heap;       // heap of lcp indices
-    std::vector<int64_t> slot((size_t)n, -1);  // index -> heap slot (-1 = out)
-    heap.reserve((size_t)n);
-
     auto less = [&](int64_t a, int64_t b) { return key[a] < key[b]; };
-    auto swap_slots = [&](int64_t i, int64_t j) {
-        std::swap(heap[i], heap[j]);
-        slot[heap[i]] = i;
-        slot[heap[j]] = j;
-    };
-    auto sift_up = [&](int64_t i) {
-        while (i > 0 && less(heap[(i - 1) / 2], heap[i])) {
-            swap_slots(i, (i - 1) / 2);
-            i = (i - 1) / 2;
-        }
-    };
-    auto sift_down = [&](int64_t i) {
-        int64_t sz = (int64_t)heap.size();
-        while (true) {
-            int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
-            if (l < sz && less(heap[m], heap[l])) m = l;
-            if (r < sz && less(heap[m], heap[r])) m = r;
-            if (m == i) break;
-            swap_slots(i, m);
-            i = m;
-        }
-    };
-    auto remove_at = [&](int64_t idx) {
-        int64_t s = slot[idx];
-        if (s < 0) return;
-        int64_t last = (int64_t)heap.size() - 1;
-        if (s != last) swap_slots(s, last);
-        slot[heap[last]] = -1;
-        heap.pop_back();
-        if (s <= last - 1 && s < (int64_t)heap.size()) {
-            sift_down(s);
-            sift_up(s);
-        }
-    };
-
-    for (int64_t i = 1; i < n; ++i) {
-        if (lcp[i] >= threshold) {
-            slot[i] = (int64_t)heap.size();
-            heap.push_back(i);
-        }
-    }
-    // heapify
-    for (int64_t i = (int64_t)heap.size() / 2 - 1; i >= 0; --i) sift_down(i);
+    SlottedMaxHeap<decltype(less)> heap(n, less);
+    for (int64_t i = 1; i < n; ++i)
+        if (lcp[i] >= threshold) heap.push_raw(i);
+    heap.heapify();
 
     int64_t nf = 0;
     while (!heap.empty()) {
-        int64_t m = heap[0];
+        int64_t m = heap.top();
         int64_t p = sa[m];
         int64_t src = sa[m - 1];
         int64_t len = key[m];
@@ -1834,17 +1854,17 @@ int64_t tdc_lcpcomp_heap_factorize(const int32_t* sa, const int32_t* isa,
         fsrc[nf] = (uint32_t)src;
         flen[nf] = (uint32_t)len;
         ++nf;
-        for (int64_t k = 0; k < len; ++k) remove_at(isa[p + k]);
+        for (int64_t k = 0; k < len; ++k) heap.erase(isa[p + k]);
         for (int64_t k = 0; k < len && p > k; ++k) {
             int64_t s = p - k - 1;
             int64_t i = isa[s];
-            if (slot[i] >= 0 && s + key[i] > p) {
+            if (heap.contains(i) && s + key[i] > p) {
                 int64_t l = p - s;
                 if (l >= threshold) {
                     key[i] = (int32_t)l;
-                    sift_down(slot[i]);
+                    heap.sift_down(heap.slot[i]);
                 } else {
-                    remove_at(i);
+                    heap.erase(i);
                 }
             }
         }
@@ -1852,18 +1872,48 @@ int64_t tdc_lcpcomp_heap_factorize(const int32_t* sa, const int32_t* isa,
     return nf;
 }
 
+// SparseISA shortcut construction (ds/SparseISA.hpp cycle decomposition):
+// walks every cycle of the SA permutation, marks each t-th element and
+// stores its t-steps-back cycle predecessor. has[i] in {0,1}; val[i] is
+// meaningful only where has[i] = 1.
+void tdc_sparse_isa_build(const int64_t* sa, int64_t n, int64_t t,
+                          uint8_t* has, int64_t* val) {
+    std::vector<uint8_t> visited((size_t)n, 0);
+    std::memset(has, 0, (size_t)n);
+    std::vector<int64_t> cycle;
+    for (int64_t start = 0; start < n; ++start) {
+        if (visited[start]) continue;
+        cycle.clear();
+        int64_t j = start;
+        while (!visited[j]) {
+            visited[j] = 1;
+            cycle.push_back(j);
+            j = sa[j];
+        }
+        const int64_t L = (int64_t)cycle.size();
+        for (int64_t k = 0; k < L; k += t) {
+            const int64_t pos = cycle[(size_t)k];
+            has[pos] = 1;
+            val[pos] = cycle[(size_t)(((k - t) % L + L) % L)];
+        }
+    }
+}
+
 // Canonical-code index decode over an unpacked bit array (the esp huff2
 // D-coding decoder loop, esp/HuffmanCoder.hpp decode semantics): first-
 // match rule value >= firstcode[len]; emits the ordered-symbol INDEX
 // psl[len-1] + value - firstcode[len-1] so the caller maps through any
 // symbol alphabet. Returns the new bit position.
+// n_bits bounds the readable bit array; returns -1 on a truncated stream
+// (the caller raises instead of reading out of bounds).
 int64_t tdc_canonical_decode_idx(const uint8_t* bits, int64_t pos,
-                                 const int64_t* fc, const int64_t* psl,
-                                 int64_t longest, int32_t* out_idx,
-                                 int64_t count) {
+                                 int64_t n_bits, const int64_t* fc,
+                                 const int64_t* psl, int64_t longest,
+                                 int32_t* out_idx, int64_t count) {
     for (int64_t i = 0; i < count; ++i) {
         int64_t value = 0, len = 0;
         do {
+            if (pos >= n_bits) return -1;
             value = (value << 1) | bits[pos++];
             ++len;
         } while (len < longest && value < fc[len - 1]);
@@ -1875,19 +1925,22 @@ int64_t tdc_canonical_decode_idx(const uint8_t* bits, int64_t pos,
 // SLP::derive_text (esp/SLP.hpp:25-38): expand the straight-line program
 // from the root with an explicit stack; symbols < 256 are terminals,
 // rule x >= 256 expands to (l[x-256], r[x-256]).
-int64_t tdc_esp_derive(const int32_t* rl, const int32_t* rr,
-                       int64_t /*n_rules*/, int64_t root, uint8_t* out,
-                       int64_t out_cap) {
+// returns -1 when out_cap is too small, -2 on an out-of-range rule id
+// (corrupt container; the caller raises instead of reading out of bounds)
+int64_t tdc_esp_derive(const int32_t* rl, const int32_t* rr, int64_t n_rules,
+                       int64_t root, uint8_t* out, int64_t out_cap) {
     std::vector<int32_t> stack;
     stack.push_back((int32_t)root);
     int64_t n = 0;
     while (!stack.empty()) {
         int32_t x = stack.back();
         stack.pop_back();
+        if (x < 0) return -2;
         if (x < 256) {
             if (n >= out_cap) return -1;
             out[n++] = (uint8_t)x;
         } else {
+            if ((int64_t)x - 256 >= n_rules) return -2;
             stack.push_back(rr[x - 256]);
             stack.push_back(rl[x - 256]);
         }
@@ -1907,60 +1960,18 @@ int64_t tdc_lcpcomp_bheap_factorize(const int32_t* sa, const int32_t* isa,
                                     int64_t threshold, uint32_t* fpos,
                                     uint32_t* fsrc, uint32_t* flen) {
     std::vector<int32_t> key(lcp, lcp + n);
-    std::vector<int64_t> heap;
-    std::vector<int64_t> slot((size_t)n, -1);
-    heap.reserve((size_t)n);
-
     auto less = [&](int64_t a, int64_t b) {
         if (key[a] != key[b]) return key[a] < key[b];
         return sa[a] > sa[b];  // equal LCP: smaller text position wins
     };
-    auto swap_slots = [&](int64_t i, int64_t j) {
-        std::swap(heap[i], heap[j]);
-        slot[heap[i]] = i;
-        slot[heap[j]] = j;
-    };
-    auto sift_up = [&](int64_t i) {
-        while (i > 0 && less(heap[(i - 1) / 2], heap[i])) {
-            swap_slots(i, (i - 1) / 2);
-            i = (i - 1) / 2;
-        }
-    };
-    auto sift_down = [&](int64_t i) {
-        int64_t sz = (int64_t)heap.size();
-        while (true) {
-            int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
-            if (l < sz && less(heap[m], heap[l])) m = l;
-            if (r < sz && less(heap[m], heap[r])) m = r;
-            if (m == i) break;
-            swap_slots(i, m);
-            i = m;
-        }
-    };
-    auto remove_at = [&](int64_t idx) {
-        int64_t s = slot[idx];
-        if (s < 0) return;
-        int64_t last = (int64_t)heap.size() - 1;
-        if (s != last) swap_slots(s, last);
-        slot[heap[last]] = -1;
-        heap.pop_back();
-        if (s < (int64_t)heap.size()) {
-            sift_down(s);
-            sift_up(s);
-        }
-    };
-
-    for (int64_t i = 1; i < n; ++i) {
-        if (lcp[i] >= threshold) {
-            slot[i] = (int64_t)heap.size();
-            heap.push_back(i);
-        }
-    }
-    for (int64_t i = (int64_t)heap.size() / 2 - 1; i >= 0; --i) sift_down(i);
+    SlottedMaxHeap<decltype(less)> heap(n, less);
+    for (int64_t i = 1; i < n; ++i)
+        if (lcp[i] >= threshold) heap.push_raw(i);
+    heap.heapify();
 
     int64_t nf = 0;
     while (!heap.empty()) {
-        int64_t m = heap[0];
+        int64_t m = heap.top();
         int64_t p = sa[m];
         int64_t src = sa[m - 1];
         int64_t len = key[m];
@@ -1968,17 +1979,17 @@ int64_t tdc_lcpcomp_bheap_factorize(const int32_t* sa, const int32_t* isa,
         fsrc[nf] = (uint32_t)src;
         flen[nf] = (uint32_t)len;
         ++nf;
-        for (int64_t k = 0; k < len; ++k) remove_at(isa[p + k]);
+        for (int64_t k = 0; k < len; ++k) heap.erase(isa[p + k]);
         for (int64_t k = 0; k < len && p > k; ++k) {
             int64_t s = p - k - 1;
             int64_t i = isa[s];
-            if (slot[i] >= 0 && s + key[i] > p) {
+            if (heap.contains(i) && s + key[i] > p) {
                 int64_t l = p - s;
                 if (l >= threshold) {
                     key[i] = (int32_t)l;
-                    sift_down(slot[i]);
+                    heap.sift_down(heap.slot[i]);
                 } else {
-                    remove_at(i);
+                    heap.erase(i);
                 }
             }
         }
@@ -2000,57 +2011,21 @@ int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
     struct Poi {
         int64_t pos, lcp, no;
     };
-    std::vector<Poi> pois;        // by handle number (insertion order)
-    std::vector<int64_t> slot;    // handle no -> heap slot (-1 = dead)
-    std::vector<int64_t> heap;    // heap of handle numbers
+    std::vector<Poi> pois;  // by handle number (insertion order)
 
     auto less = [&](int64_t a, int64_t b) {
         if (pois[a].lcp != pois[b].lcp) return pois[a].lcp < pois[b].lcp;
         return pois[a].pos > pois[b].pos;  // equal lcp: smaller pos wins
     };
-    auto swap_slots = [&](int64_t i, int64_t j) {
-        std::swap(heap[i], heap[j]);
-        slot[heap[i]] = i;
-        slot[heap[j]] = j;
-    };
-    auto sift_up = [&](int64_t i) {
-        while (i > 0 && less(heap[(i - 1) / 2], heap[i])) {
-            swap_slots(i, (i - 1) / 2);
-            i = (i - 1) / 2;
-        }
-    };
-    auto sift_down = [&](int64_t i) {
-        int64_t sz = (int64_t)heap.size();
-        while (true) {
-            int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
-            if (l < sz && less(heap[m], heap[l])) m = l;
-            if (r < sz && less(heap[m], heap[r])) m = r;
-            if (m == i) break;
-            swap_slots(i, m);
-            i = m;
-        }
-    };
-    auto erase_no = [&](int64_t no) {
-        int64_t s = slot[no];
-        if (s < 0) return;
-        int64_t last = (int64_t)heap.size() - 1;
-        if (s != last) swap_slots(s, last);
-        slot[heap[last]] = -1;
-        heap.pop_back();
-        if (s < (int64_t)heap.size()) {
-            sift_down(s);
-            sift_up(s);
-        }
-    };
+    SlottedMaxHeap<decltype(less)> h(0, less);
+    auto erase_no = [&](int64_t no) { h.erase(no); };
     auto emplace = [&](int64_t pos, int64_t lcp, int64_t no) {
         if ((int64_t)pois.size() <= no) {
             pois.resize((size_t)no + 1);
-            slot.resize((size_t)no + 1, -1);
+            h.slot.resize((size_t)no + 1, -1);
         }
         pois[(size_t)no] = Poi{pos, lcp, no};
-        slot[(size_t)no] = (int64_t)heap.size();
-        heap.push_back(no);
-        sift_up((int64_t)heap.size() - 1);
+        h.push(no);
     };
 
     int64_t nf = 0;
@@ -2058,7 +2033,7 @@ int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
     int64_t handle_count = 0;
     for (int64_t i = 0; i + 1 < n; ++i) {
         const int64_t plcp_i = plcp[i];
-        if (heap.empty()) {
+        if (h.empty()) {
             if (plcp_i >= threshold) {
                 emplace(i, plcp_i, handle_count++);
                 lastpos = i;
@@ -2067,8 +2042,8 @@ int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
             continue;
         }
         if (i - lastpos >= lastpos_lcp || i + 1 == n) {
-            while (!heap.empty()) {
-                const Poi top = pois[(size_t)heap[0]];
+            while (!h.empty()) {
+                const Poi top = pois[(size_t)h.top()];
                 const int64_t source = sa[isa[top.pos] - 1];
                 fpos[nf] = (uint32_t)top.pos;
                 fsrc[nf] = (uint32_t)source;
@@ -2080,7 +2055,7 @@ int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
                     bool peak_exists = false;
                     if (top.pos + top.lcp < i) {
                         for (int64_t j = top.no + 1; j < handle_count; ++j) {
-                            if (slot[j] < 0) continue;
+                            if (!h.contains(j)) continue;
                             const Poi poi = pois[(size_t)j];
                             if (poi.pos < next_pos + top.lcp) {
                                 erase_no(j);
@@ -2103,7 +2078,7 @@ int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
                 }
                 erase_no(top.no);
                 for (int64_t j = handle_count - 1; j >= 0; --j) {
-                    if (slot[j] < 0) continue;
+                    if (!h.contains(j)) continue;
                     Poi& poi = pois[(size_t)j];
                     if (poi.pos > next_pos) continue;
                     const int64_t newlcp = next_pos - poi.pos;
@@ -2112,7 +2087,7 @@ int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
                             erase_no(j);
                         } else {
                             poi.lcp = newlcp;
-                            sift_down(slot[j]);
+                            h.sift_down(h.slot[j]);
                         }
                     } else {
                         break;
@@ -2121,7 +2096,7 @@ int64_t tdc_lcpcomp_plcp_factorize(const int32_t* sa, const int32_t* isa,
             }
             handle_count = 0;
             pois.clear();
-            slot.clear();
+            h.slot.clear();
             --i;
             continue;
         }

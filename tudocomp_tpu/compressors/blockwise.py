@@ -167,16 +167,10 @@ class BlockwiseCompressor(Compressor):
             "TDC_DEVICE_HUFF"
         ):
             with StatPhase("device blockwise decode"):
-                from ..ops.huffman_decode_pallas import (
-                    LANES,
-                    decode_payloads_bitserial,
-                )
+                from ..ops.huffman_decode_pallas import decode_payloads_batched
 
-                for lo in range(0, len(payloads), LANES):
-                    for part in decode_payloads_bitserial(
-                        payloads[lo : lo + LANES], max_out=block_size
-                    ):
-                        out.write(np.frombuffer(part, np.uint8))
+                for part in decode_payloads_batched(payloads, block_size):
+                    out.write(np.frombuffer(part, np.uint8))
                 return
         with StatPhase("blockwise decode"):
             # symmetric with the per-block driver.compress(raw=True) on the
@@ -186,7 +180,10 @@ class BlockwiseCompressor(Compressor):
             from ..driver import decompress as driver_decompress
 
             inner_id = av.id_string()
-            if len(payloads) > 1 and (os.cpu_count() or 1) > 1:
+            # TDC_BLOCKWISE_PROCS=0 disables block parallelism on both
+            # sides of the pipeline (the encode pool honors it too)
+            par_ok = os.environ.get("TDC_BLOCKWISE_PROCS", "") != "0"
+            if par_ok and len(payloads) > 1 and (os.cpu_count() or 1) > 1:
                 import concurrent.futures as cf
 
                 with cf.ThreadPoolExecutor(

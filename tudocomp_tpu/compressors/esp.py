@@ -305,6 +305,8 @@ def derive_text(rules: np.ndarray, root: int) -> bytes:
         while True:
             out = np.empty(cap, np.uint8)
             n = lib.tdc_esp_derive(rl, rr, len(rules), int(root), out, cap)
+            if n == -2:
+                raise ValueError("corrupt esp container: rule id out of range")
             if n >= 0:
                 return out[:n].tobytes()
             cap *= 2

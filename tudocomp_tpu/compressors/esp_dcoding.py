@@ -262,12 +262,15 @@ class DHuffman(Algorithm):
             pos = lib.tdc_canonical_decode_idx(
                 np.ascontiguousarray(bits, np.uint8),
                 pos,
+                int(r._valid),
                 np.ascontiguousarray(firstcodes, np.int64),
                 np.ascontiguousarray(psl, np.int64),
                 int(longest),
                 idx,
                 count,
             )
+            if pos < 0:
+                raise ValueError("truncated esp huffman D stream")
             r._pos = pos
             return syms[idx]
         out = np.zeros(count, np.int64)

@@ -22,35 +22,51 @@ class SparseISA:
     """
 
     def __init__(self, sa: np.ndarray, t: int = 16):
-        sa = np.asarray(sa, dtype=np.int64)
+        sa = np.ascontiguousarray(sa, dtype=np.int64)
         n = len(sa)
         self.sa = sa
         self.t = t
-        has_shortcut = np.zeros(n, dtype=bool)
-        shortcut_val = {}
-        visited = np.zeros(n, dtype=bool)
-        for start in range(n):
-            if visited[start]:
-                continue
-            # walk the cycle of the permutation
-            cycle = []
-            j = start
-            while not visited[j]:
-                visited[j] = True
-                cycle.append(j)
-                j = int(sa[j])
-            L = len(cycle)
-            for k in range(0, L, t):
-                pos = cycle[k]
-                has_shortcut[pos] = True
-                # jump t cycle steps backward (wraps on short cycles)
-                shortcut_val[pos] = cycle[(k - t) % L]
+        from .. import native
+
+        lib = native.get_lib()
+        if lib is not None and n and hasattr(lib, "tdc_sparse_isa_build"):
+            has_u8 = np.empty(n, np.uint8)
+            val = np.empty(n, np.int64)
+            lib.tdc_sparse_isa_build(sa, n, int(t), has_u8, val)
+            has_shortcut = has_u8.astype(bool)
+            order = np.flatnonzero(has_shortcut)
+            shortcuts = val[order]
+        else:
+            has_shortcut = np.zeros(n, dtype=bool)
+            shortcut_val = {}
+            visited = np.zeros(n, dtype=bool)
+            for start in range(n):
+                if visited[start]:
+                    continue
+                # walk the cycle of the permutation
+                cycle = []
+                j = start
+                while not visited[j]:
+                    visited[j] = True
+                    cycle.append(j)
+                    j = int(sa[j])
+                L = len(cycle)
+                for k in range(0, L, t):
+                    pos = cycle[k]
+                    has_shortcut[pos] = True
+                    # jump t cycle steps backward (wraps on short cycles)
+                    shortcut_val[pos] = cycle[(k - t) % L]
+            order = np.flatnonzero(has_shortcut)
+            shortcuts = (
+                np.array([shortcut_val[p] for p in order], np.int64)
+                if len(order)
+                else np.zeros(0, np.int64)
+            )
         self._has = has_shortcut
         self._rank = Rank(has_shortcut)
-        order = np.flatnonzero(has_shortcut)
-        self._shortcuts = np.array(
-            [shortcut_val[p] for p in order], np.int64
-        ) if len(order) else np.zeros(0, np.int64)
+        self._shortcuts = (
+            shortcuts if len(order) else np.zeros(0, np.int64)
+        )
 
     def isa(self, i: int) -> int:
         """Position j with sa[j] == i (the cycle predecessor of i):

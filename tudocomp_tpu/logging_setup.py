@@ -31,10 +31,16 @@ def setup_logging(
         level = logging.DEBUG
 
     logger.setLevel(level)
+    # own handlers only: without this, records also propagate to any
+    # root-logger handler an embedding app configured (duplicate lines)
+    logger.propagate = False
     fmt = logging.Formatter(
         "%(levelname).1s%(asctime)s %(name)s] %(message)s", datefmt="%m%d %H:%M:%S"
     )
-    if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
+    has_stream = any(
+        type(h) is logging.StreamHandler for h in logger.handlers
+    )
+    if not has_stream:
         sh = logging.StreamHandler()
         sh.setFormatter(fmt)
         logger.addHandler(sh)
@@ -43,6 +49,11 @@ def setup_logging(
         path = os.path.join(
             logdir, time.strftime("tdc.%Y%m%d-%H%M%S.log", time.localtime())
         )
-        fh = logging.FileHandler(path)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        if not any(
+            isinstance(h, logging.FileHandler)
+            and os.path.dirname(getattr(h, "baseFilename", "")) == os.path.abspath(logdir)
+            for h in logger.handlers
+        ):
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)

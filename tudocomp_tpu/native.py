@@ -173,7 +173,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_esp_derive.restype = i64
     lib.tdc_esp_derive.argtypes = [i32p, i32p, i64, i64, u8p, i64]
     lib.tdc_canonical_decode_idx.restype = i64
-    lib.tdc_canonical_decode_idx.argtypes = [u8p, i64, i64p, i64p, i64, i32p, i64]
+    lib.tdc_canonical_decode_idx.argtypes = [
+        u8p, i64, i64, i64p, i64p, i64, i32p, i64,
+    ]
+    lib.tdc_sparse_isa_build.restype = None
+    lib.tdc_sparse_isa_build.argtypes = [i64p, i64, i64, u8p, i64p]
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     lib.tdc_lzss_stream_parse.restype = i64
     lib.tdc_lzss_stream_parse.argtypes = [

@@ -48,7 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..io.bitio import BitReader
 from .bitpack import words_to_bytes
 
-__all__ = ["decode_payloads_bitserial", "parse_payload_tables"]
+__all__ = [
+    "decode_payloads_bitserial",
+    "decode_payloads_batched",
+    "parse_payload_tables",
+]
 
 LANES = 1024  # blocks per kernel invocation, laid out [8, 128]
 CHUNK_WORDS = 16  # stream words per grid step -> 512 bit-steps
@@ -263,4 +267,16 @@ def decode_payloads_bitserial(
     out = []
     for i in range(nb_real):
         out.append(words_to_bytes(arena[i], int(bits[i])))
+    return out
+
+
+def decode_payloads_batched(payloads: list, max_out: int) -> list:
+    """Decode any number of payloads, chunked into LANES-sized lockstep
+    batches (the single entry point for both the blockwise compressor and
+    the parallel runtime)."""
+    out = []
+    for lo in range(0, len(payloads), LANES):
+        out.extend(
+            decode_payloads_bitserial(payloads[lo : lo + LANES], max_out)
+        )
     return out

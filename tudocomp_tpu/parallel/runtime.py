@@ -252,19 +252,9 @@ def blockwise_huffman_decompress(container: bytes, device: bool = False) -> byte
 
     block_size, payloads = unframe_streams(container)
     if device:
-        from ..ops.huffman_decode_pallas import (
-            LANES,
-            decode_payloads_bitserial,
-        )
+        from ..ops.huffman_decode_pallas import decode_payloads_batched
 
-        out = []
-        for lo in range(0, len(payloads), LANES):
-            out.extend(
-                decode_payloads_bitserial(
-                    payloads[lo : lo + LANES], max_out=block_size
-                )
-            )
-        return b"".join(out)
+        return b"".join(decode_payloads_batched(payloads, block_size))
     from ..driver import decompress
 
     out = bytearray()

@@ -24,13 +24,26 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 import time
 import tracemalloc
 from typing import Any, Optional
 
 _LOG = logging.getLogger("tudocomp_tpu.stats")
 
-_current: Optional["StatPhase"] = None
+# the open-phase cursor is thread-local: worker threads (e.g. the
+# blockwise thread pools) each get an independent phase stack, so
+# concurrent phases never corrupt the main tree; per-thread phases simply
+# form detached trees that are not aggregated into the main --stats output
+_tls = threading.local()
+
+
+def _get_current() -> Optional["StatPhase"]:
+    return getattr(_tls, "current", None)
+
+
+def _set_current(phase: Optional["StatPhase"]) -> None:
+    _tls.current = phase
 _started_tracing = False
 
 
@@ -92,11 +105,10 @@ class StatPhase:
     # -- lifecycle ------------------------------------------------------------
 
     def __enter__(self) -> "StatPhase":
-        global _current
-        self._parent = _current
+        self._parent = _get_current()
         if self._parent is not None:
             self._parent.children.append(self)
-        _current = self
+        _set_current(self)
         if StatPhase.track_memory and _ensure_tracing():
             self._tracing = True
             cur, peak = tracemalloc.get_traced_memory()
@@ -113,7 +125,6 @@ class StatPhase:
         return self
 
     def __exit__(self, *exc) -> bool:
-        global _current
         self.time_end = _now_ms()
         if self._tracing and tracemalloc.is_tracing():
             cur, peak = tracemalloc.get_traced_memory()
@@ -128,7 +139,7 @@ class StatPhase:
             tracemalloc.reset_peak()
         if StatPhase.track_device_memory:
             self.stats["devMemFinal"] = _device_mem()
-        _current = self._parent
+        _set_current(self._parent)
         # DVLOG analogue: per-phase timing at DEBUG (wired to --logverbosity)
         _LOG.debug("phase %r: %.3f ms", self.title, self.time_end - self.time_start)
         return False
@@ -140,7 +151,7 @@ class StatPhase:
 
     @staticmethod
     def current() -> Optional["StatPhase"]:
-        return _current
+        return _get_current()
 
     def split(self, title: str) -> "StatPhase":
         """End-and-begin a sibling phase (StatPhase.hpp 'split')."""
@@ -156,8 +167,9 @@ class StatPhase:
 
     @staticmethod
     def log_current(key: str, value: Any) -> None:
-        if _current is not None:
-            _current.log(key, value)
+        cur = _get_current()
+        if cur is not None:
+            cur.log(key, value)
 
     # -- export -----------------------------------------------------------------
 
