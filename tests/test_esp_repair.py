@@ -162,3 +162,47 @@ class TestRePair:
                 assert ep == en == data.tobytes()
         finally:
             native.get_lib = orig
+
+
+def test_esp_corrupt_container_raises_cleanly():
+    """Corrupt ESP streams must raise, not crash: the native derive/decode
+    paths carry explicit bounds guards (review finding, tdc_native.cpp
+    tdc_esp_derive / tdc_canonical_decode_idx)."""
+    import pytest
+
+    from tudocomp_tpu.driver import compress, decompress
+
+    data = b"corrupt me please " * 40
+    for algo in ("esp", "esp(slp_coder=sorted(d_coding=huffman))"):
+        c = bytearray(compress(algo, data))
+        for flip in (len(c) // 2, len(c) - 2, len(c) // 3):
+            bad = bytes(c[:flip]) + bytes([c[flip] ^ 0xFF]) + bytes(c[flip + 1:])
+            try:
+                out = decompress(bad)
+                assert isinstance(out, bytes)  # wrong bytes are acceptable
+            except (ValueError, AssertionError, IndexError, KeyError):
+                pass  # clean python exception, never a native crash
+
+
+def test_statphase_thread_isolation():
+    """Worker-thread phases must not corrupt the main thread's tree
+    (review finding: the phase cursor is thread-local)."""
+    import concurrent.futures as cf
+
+    from tudocomp_tpu.stats.phase import StatPhase
+
+    with StatPhase("root") as root:
+        with StatPhase("main-child"):
+            def worker(i):
+                with StatPhase(f"thread-{i}"):
+                    with StatPhase("inner"):
+                        pass
+                return StatPhase.current()  # must be None in this thread
+
+            with cf.ThreadPoolExecutor(max_workers=4) as ex:
+                residues = list(ex.map(worker, range(8)))
+        assert all(r is None for r in residues)
+        assert StatPhase.current() is root
+    d = root.to_dict()
+    assert [c["title"] for c in d["sub"]] == ["main-child"]
+    assert d["sub"][0]["sub"] == []
