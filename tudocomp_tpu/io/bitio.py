@@ -362,6 +362,17 @@ class BitReader:
         if count == 0 or bits == 0:
             self._pos += count * bits
             return np.zeros(count, dtype=np.uint64)
+        if bits == 8 and (self._pos & 7) == 0:
+            # byte-aligned literal runs (vbyte/ascii/degenerate-huff):
+            # a direct byte-slice, no bit unpack / matmul
+            p8 = self._pos >> 3
+            arr = np.frombuffer(self._data, np.uint8)[p8 : p8 + count]
+            if len(arr) < count:
+                arr = np.concatenate(
+                    [arr, np.zeros(count - len(arr), np.uint8)]
+                )
+            self._pos += count * 8
+            return arr.astype(np.uint64)
         need = count * bits
         chunk = self._bits[self._pos : self._pos + need]
         if len(chunk) < need:
