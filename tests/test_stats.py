@@ -75,3 +75,34 @@ def test_split():
         ph = ph.split("two")
         ph.__exit__()
     assert [c["title"] for c in root.to_dict()["sub"]] == ["one", "two"]
+
+
+def test_malloc_hook_cli_stats():
+    """TDC_MALLOC_HOOK=1 re-execs the CLI with the native malloc
+    interposer (byte-accurate heap columns, the reference's malloc.cpp
+    analogue). Skipped when gcc cannot build the hook."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tudocomp_tpu.native import memhook_so_path
+
+    if not memhook_so_path():
+        import pytest
+
+        pytest.skip("malloc hook unavailable")
+    env = dict(os.environ)
+    env["TDC_MALLOC_HOOK"] = "1"
+    env.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "tudocomp_tpu", "-a", "rle:encode(huff)",
+         "-s", "--usestdin", "-o", "/dev/null", "-f"],
+        input=b"malloc hook stats " * 200,
+        capture_output=True,
+        env=env,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    doc = json.loads(proc.stdout.decode())
+    assert doc["data"]["memPeak"] > 0

@@ -56,7 +56,35 @@ def bad_usage(msg: str) -> int:
     return 1
 
 
+def _maybe_reexec_with_memhook() -> None:
+    """TDC_MALLOC_HOOK=1: re-exec with the native malloc interposer
+    preloaded, giving --stats byte-accurate heap columns (the analogue of
+    the reference linking src/tudocomp_stat/malloc.cpp into tdc). No-op
+    when already preloaded or the hook cannot be built."""
+    if os.environ.get("TDC_MALLOC_HOOK") != "1":
+        return
+    import ctypes
+
+    try:
+        ctypes.CDLL(None).tdc_memhook_active
+        return  # already preloaded
+    except AttributeError:
+        pass
+    from .native import memhook_so_path
+
+    so = memhook_so_path()
+    if not so:
+        return
+    env = dict(os.environ)
+    pre = env.get("LD_PRELOAD", "")
+    env["LD_PRELOAD"] = f"{so}:{pre}" if pre else so
+    env["TDC_TRACK_MEM"] = env.get("TDC_TRACK_MEM", "1")
+    os.execve(sys.executable, [sys.executable, "-m", "tudocomp_tpu"] + sys.argv[1:], env)
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        _maybe_reexec_with_memhook()
     args = build_parser().parse_args(argv)
 
     if args.help:

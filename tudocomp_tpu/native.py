@@ -284,3 +284,38 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     _lib = lib
     return _lib
+
+
+def memhook_so_path() -> str:
+    """Path of the LD_PRELOAD malloc interposer (native/tdc_memhook.c),
+    building it on demand. Returns "" when unavailable."""
+    src = os.path.join(_NATIVE_DIR, "tdc_memhook.c")
+    if not os.path.exists(src):
+        return ""
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    so = os.path.join(_NATIVE_DIR, f"libtdc_memhook-{digest}.so")
+    if os.path.exists(so):
+        return so
+    try:
+        r = subprocess.run(
+            ["gcc", "-O2", "-fPIC", "-shared", "-o", so, src, "-ldl"],
+            capture_output=True,
+            timeout=120,
+        )
+        return so if r.returncode == 0 else ""
+    except Exception:
+        return ""
+
+
+def memhook_counters():
+    """(current_fn, peak_fn, reset_peak_fn) when the malloc interposer is
+    preloaded into this process; None otherwise."""
+    try:
+        lib = ctypes.CDLL(None)
+        lib.tdc_memhook_active  # raises if not preloaded
+        lib.tdc_mem_current.restype = ctypes.c_longlong
+        lib.tdc_mem_peak.restype = ctypes.c_longlong
+        return lib.tdc_mem_current, lib.tdc_mem_peak, lib.tdc_mem_reset_peak
+    except Exception:
+        return None

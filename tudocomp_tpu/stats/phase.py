@@ -64,9 +64,18 @@ def _device_mem() -> int:
 
 
 def _ensure_tracing() -> bool:
-    """Start tracemalloc on first use (the analogue of linking the malloc
-    override); returns whether tracing is active."""
+    """Activate a heap-accounting backend; returns whether one is active.
+
+    Preferred backend: the LD_PRELOAD malloc interposer
+    (native/tdc_memhook.c — byte-accurate like the reference's link-time
+    override, covers numpy/JAX/native allocations from any thread; the
+    CLI re-execs with it when TDC_MALLOC_HOOK=1). Fallback: tracemalloc
+    (Python-level allocations only, including numpy buffers via
+    PyTraceMalloc).
+    """
     global _started_tracing
+    if _memhook() is not None:
+        return True
     if tracemalloc.is_tracing():
         return True
     try:
@@ -75,6 +84,38 @@ def _ensure_tracing() -> bool:
         return True
     except Exception:
         return False
+
+
+_memhook_cache = None
+
+
+def _memhook():
+    global _memhook_cache
+    if _memhook_cache is None:
+        from .. import native
+
+        _memhook_cache = native.memhook_counters() or False
+    return _memhook_cache or None
+
+
+def _mem_read():
+    """(current_bytes, peak_bytes) from the active backend."""
+    h = _memhook()
+    if h is not None:
+        return int(h[0]()), int(h[1]())
+    return tracemalloc.get_traced_memory()
+
+
+def _mem_reset_peak():
+    h = _memhook()
+    if h is not None:
+        h[2]()
+    else:
+        tracemalloc.reset_peak()
+
+
+def _mem_active() -> bool:
+    return _memhook() is not None or tracemalloc.is_tracing()
 
 
 class StatPhase:
@@ -111,12 +152,12 @@ class StatPhase:
         _set_current(self)
         if StatPhase.track_memory and _ensure_tracing():
             self._tracing = True
-            cur, peak = tracemalloc.get_traced_memory()
+            cur, peak = _mem_read()
             # the open peak window belongs to the parent; hand it over
             # before resetting for this phase
             if self._parent is not None and self._parent._tracing:
                 self._parent._abs_peak = max(self._parent._abs_peak, peak)
-            tracemalloc.reset_peak()
+            _mem_reset_peak()
             self.mem_off = cur
             self._abs_peak = cur
         if StatPhase.track_device_memory:
@@ -126,8 +167,8 @@ class StatPhase:
 
     def __exit__(self, *exc) -> bool:
         self.time_end = _now_ms()
-        if self._tracing and tracemalloc.is_tracing():
-            cur, peak = tracemalloc.get_traced_memory()
+        if self._tracing and _mem_active():
+            cur, peak = _mem_read()
             self._abs_peak = max(self._abs_peak, peak, cur)
             self.mem_current = cur - self.mem_off
             self.mem_peak = max(0, self._abs_peak - self.mem_off)
@@ -136,7 +177,7 @@ class StatPhase:
                     self._parent._abs_peak, self._abs_peak
                 )
             # fresh window for whatever the parent does next
-            tracemalloc.reset_peak()
+            _mem_reset_peak()
         if StatPhase.track_device_memory:
             self.stats["devMemFinal"] = _device_mem()
         _set_current(self._parent)
