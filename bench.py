@@ -185,10 +185,11 @@ def _synth_text(n: int, kind: str) -> bytes:
 
 
 def _config_metrics() -> list:
-    """BASELINE.json configs 1-5 at BASELINE-named sizes (the >=4 MiB
-    device gates open on TPU for the suffix-array pipelines). Each metric
-    reports compress AND decompress throughput (the BASELINE metric is
-    encode/decode GB/s)."""
+    """BASELINE.json configs 1-5 at BASELINE-named sizes. Device-stage
+    policy follows the measured crossovers in PERF.md (suffix pipelines
+    engage device stages where they win; host natives keep the stages the
+    device loses). Each metric reports compress AND decompress throughput
+    (the BASELINE metric is encode/decode GB/s)."""
     from tudocomp_tpu.driver import compress, decompress
 
     big = os.environ.get("TDC_BENCH_BIG", "1") != "0"

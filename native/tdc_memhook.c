@@ -29,6 +29,15 @@ static void* (*real_realloc)(void*, size_t);
 static void (*real_free)(void*);
 static void* (*real_memalign)(size_t, size_t);
 static int (*real_posix_memalign)(void**, size_t, size_t);
+static void* (*real_aligned_alloc)(size_t, size_t);
+static void* (*real_valloc)(size_t);
+static void* (*real_pvalloc)(size_t);
+static void* (*real_reallocarray)(void*, size_t, size_t);
+
+/* set LAST in hook_init so a concurrent caller that observes g_inited==1
+ * is guaranteed to see every real_* pointer resolved (a caller observing
+ * 0 re-runs the idempotent dlsym resolution itself) */
+static _Atomic int g_inited = 0;
 
 static _Atomic long long g_current = 0;
 static _Atomic long long g_peak = 0;
@@ -49,7 +58,7 @@ static void* boot_alloc(size_t sz) {
 }
 
 static void hook_init(void) {
-    if (real_malloc) return;
+    if (atomic_load(&g_inited)) return;
     initing = 1;
     real_malloc = (void* (*)(size_t))dlsym(RTLD_NEXT, "malloc");
     real_calloc = (void* (*)(size_t, size_t))dlsym(RTLD_NEXT, "calloc");
@@ -58,7 +67,14 @@ static void hook_init(void) {
     real_memalign = (void* (*)(size_t, size_t))dlsym(RTLD_NEXT, "memalign");
     real_posix_memalign =
         (int (*)(void**, size_t, size_t))dlsym(RTLD_NEXT, "posix_memalign");
+    real_aligned_alloc =
+        (void* (*)(size_t, size_t))dlsym(RTLD_NEXT, "aligned_alloc");
+    real_valloc = (void* (*)(size_t))dlsym(RTLD_NEXT, "valloc");
+    real_pvalloc = (void* (*)(size_t))dlsym(RTLD_NEXT, "pvalloc");
+    real_reallocarray =
+        (void* (*)(void*, size_t, size_t))dlsym(RTLD_NEXT, "reallocarray");
     initing = 0;
+    atomic_store(&g_inited, 1);
 }
 
 static void acct(long long d) {
@@ -70,7 +86,7 @@ static void acct(long long d) {
 }
 
 void* malloc(size_t sz) {
-    if (!real_malloc) {
+    if (!atomic_load(&g_inited)) {
         if (initing) return boot_alloc(sz);
         hook_init();
     }
@@ -80,7 +96,7 @@ void* malloc(size_t sz) {
 }
 
 void* calloc(size_t n, size_t sz) {
-    if (!real_calloc) {
+    if (!atomic_load(&g_inited)) {
         if (initing) {
             void* p = boot_alloc(n * sz);
             if (p) memset(p, 0, n * sz);
@@ -94,7 +110,7 @@ void* calloc(size_t n, size_t sz) {
 }
 
 void* realloc(void* old, size_t sz) {
-    if (!real_realloc) hook_init();
+    if (!atomic_load(&g_inited)) hook_init();
     if (in_boot(old)) {  /* bootstrap block: treat as fresh alloc */
         void* p = real_malloc(sz);
         if (p) acct((long long)malloc_usable_size(p));
@@ -108,23 +124,57 @@ void* realloc(void* old, size_t sz) {
 
 void free(void* p) {
     if (!p || in_boot(p)) return;
-    if (!real_free) hook_init();
+    if (!atomic_load(&g_inited)) hook_init();
     acct(-(long long)malloc_usable_size(p));
     real_free(p);
 }
 
 void* memalign(size_t align, size_t sz) {
-    if (!real_memalign) hook_init();
+    if (!atomic_load(&g_inited)) hook_init();
     void* p = real_memalign ? real_memalign(align, sz) : 0;
     if (p) acct((long long)malloc_usable_size(p));
     return p;
 }
 
 int posix_memalign(void** out, size_t align, size_t sz) {
-    if (!real_posix_memalign) hook_init();
+    if (!atomic_load(&g_inited)) hook_init();
     int rc = real_posix_memalign ? real_posix_memalign(out, align, sz) : -1;
     if (rc == 0 && *out) acct((long long)malloc_usable_size(*out));
     return rc;
+}
+
+void* aligned_alloc(size_t align, size_t sz) {
+    if (!atomic_load(&g_inited)) hook_init();
+    void* p = real_aligned_alloc ? real_aligned_alloc(align, sz) : 0;
+    if (p) acct((long long)malloc_usable_size(p));
+    return p;
+}
+
+void* valloc(size_t sz) {
+    if (!atomic_load(&g_inited)) hook_init();
+    void* p = real_valloc ? real_valloc(sz) : 0;
+    if (p) acct((long long)malloc_usable_size(p));
+    return p;
+}
+
+void* pvalloc(size_t sz) {
+    if (!atomic_load(&g_inited)) hook_init();
+    void* p = real_pvalloc ? real_pvalloc(sz) : 0;
+    if (p) acct((long long)malloc_usable_size(p));
+    return p;
+}
+
+void* reallocarray(void* old, size_t n, size_t sz) {
+    if (!atomic_load(&g_inited)) hook_init();
+    if (in_boot(old)) {
+        void* p = real_malloc(n * sz);
+        if (p) acct((long long)malloc_usable_size(p));
+        return p;
+    }
+    long long before = old ? (long long)malloc_usable_size(old) : 0;
+    void* p = real_reallocarray ? real_reallocarray(old, n, sz) : 0;
+    if (p) acct((long long)malloc_usable_size(p) - before);
+    return p;
 }
 
 /* -- counter API (read via ctypes from stats/phase.py) ------------------- */

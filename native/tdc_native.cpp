@@ -1925,14 +1925,21 @@ int64_t tdc_canonical_decode_idx(const uint8_t* bits, int64_t pos,
 // SLP::derive_text (esp/SLP.hpp:25-38): expand the straight-line program
 // from the root with an explicit stack; symbols < 256 are terminals,
 // rule x >= 256 expands to (l[x-256], r[x-256]).
-// returns -1 when out_cap is too small, -2 on an out-of-range rule id
-// (corrupt container; the caller raises instead of reading out of bounds)
+// returns -1 when out_cap is too small, -2 on an out-of-range rule id,
+// -3 on a cyclic rule graph (corrupt container; the caller raises).
+// Cycle bound: a valid binary derivation emitting T <= out_cap terminals
+// pops at most T terminals + (T-1 internal nodes + one left spine of
+// length <= n_rules in an acyclic rule DAG), so any run exceeding
+// 2*out_cap + n_rules + 2 pops can only be a cycle.
 int64_t tdc_esp_derive(const int32_t* rl, const int32_t* rr, int64_t n_rules,
                        int64_t root, uint8_t* out, int64_t out_cap) {
     std::vector<int32_t> stack;
     stack.push_back((int32_t)root);
     int64_t n = 0;
+    const int64_t max_pops = 2 * out_cap + n_rules + 2;
+    int64_t pops = 0;
     while (!stack.empty()) {
+        if (++pops > max_pops) return -3;
         int32_t x = stack.back();
         stack.pop_back();
         if (x < 0) return -2;

@@ -206,3 +206,40 @@ def test_statphase_thread_isolation():
     d = root.to_dict()
     assert [c["title"] for c in d["sub"]] == ["main-child"]
     assert d["sub"][0]["sub"] == []
+
+
+def test_esp_derive_cycle_raises():
+    """A cyclic rule graph (rule 0 -> (256, x), i.e. self-reference) must
+    raise instead of hanging with unbounded memory growth — both the
+    native tdc_esp_derive walk (-3 sentinel) and the python mirror
+    (advisor finding r4: the -2 bound check only caught out-of-range ids)."""
+    import numpy as np
+    import pytest
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.compressors.esp import derive_text
+
+    # rule 256 -> (256, 65): direct self-cycle
+    rules = np.array([[256, 65]], dtype=np.int64)
+    with pytest.raises(ValueError, match="cyclic"):
+        derive_text(rules, 256)
+
+    # two-rule cycle 256 -> (257, 65), 257 -> (256, 66)
+    rules2 = np.array([[257, 65], [256, 66]], dtype=np.int64)
+    with pytest.raises(ValueError, match="cyclic"):
+        derive_text(rules2, 256)
+
+    # python mirror (native lib absent) must behave identically
+    orig = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        with pytest.raises(ValueError, match="cyclic"):
+            derive_text(rules, 256)
+        with pytest.raises(ValueError, match="cyclic"):
+            derive_text(rules2, 256)
+        # sanity: valid SLPs still derive identically in the mirror
+        ok = np.array([[65, 66], [256, 67]], dtype=np.int64)
+        assert derive_text(ok, 257) == b"ABC"
+    finally:
+        native.get_lib = orig
+    assert derive_text(np.array([[65, 66], [256, 67]], np.int64), 257) == b"ABC"

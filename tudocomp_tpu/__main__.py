@@ -70,6 +70,11 @@ def _maybe_reexec_with_memhook() -> None:
         return  # already preloaded
     except AttributeError:
         pass
+    # one-shot guard: if a previous re-exec failed to apply the preload
+    # (noexec tmp, loader rejection, secure-exec stripping), fall back to
+    # tracemalloc instead of re-exec'ing forever
+    if os.environ.get("TDC_MEMHOOK_REEXEC") == "1":
+        return
     from .native import memhook_so_path
 
     so = memhook_so_path()
@@ -79,6 +84,7 @@ def _maybe_reexec_with_memhook() -> None:
     pre = env.get("LD_PRELOAD", "")
     env["LD_PRELOAD"] = f"{so}:{pre}" if pre else so
     env["TDC_TRACK_MEM"] = env.get("TDC_TRACK_MEM", "1")
+    env["TDC_MEMHOOK_REEXEC"] = "1"
     os.execve(sys.executable, [sys.executable, "-m", "tudocomp_tpu"] + sys.argv[1:], env)
 
 

@@ -156,16 +156,22 @@ class BlockwiseCompressor(Compressor):
         block_size, payloads = unframe_streams(inp.as_bytes())
         from ..device import use_device
 
-        # device decode is opt-in (TDC_DEVICE_HUFF=1): the bit-serial
-        # lockstep decoder measures ~0.07 GB/s on v5e — parity with the
-        # native host decoder (PERF.md), so the host stays default; the
-        # device path serves device-resident pipelines
+        # device decode gate (BENCH_r04 retune): the bit-serial lockstep
+        # decoder measures 0.227 GB/s data-resident on v5e — 3x the host
+        # decoder — but the CLI contract lands bytes in host memory, and
+        # through the axon tunnel that fetch dominates (0.0073 GB/s e2e).
+        # Policy: device by default on a locally attached TPU, host behind
+        # the tunnel; TDC_DEVICE_HUFF=1/0 forces either way.
+        from ..device import tunnel_backend
+
+        force = os.environ.get("TDC_DEVICE_HUFF")
+        dev_decode_ok = (
+            force == "1" if tunnel_backend() else force != "0"
+        )
         if av.id_string() in (
             "encode(coder=huff)",
             "encode(huff)",
-        ) and os.environ.get("TDC_DEVICE_HUFF") == "1" and use_device(
-            "TDC_DEVICE_HUFF"
-        ):
+        ) and dev_decode_ok and use_device("TDC_DEVICE_HUFF"):
             with StatPhase("device blockwise decode"):
                 from ..ops.huffman_decode_pallas import decode_payloads_batched
 

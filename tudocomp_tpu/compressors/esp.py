@@ -307,12 +307,21 @@ def derive_text(rules: np.ndarray, root: int) -> bytes:
             n = lib.tdc_esp_derive(rl, rr, len(rules), int(root), out, cap)
             if n == -2:
                 raise ValueError("corrupt esp container: rule id out of range")
+            if n == -3:
+                raise ValueError("corrupt esp container: cyclic rule graph")
             if n >= 0:
                 return out[:n].tobytes()
             cap *= 2
     out = bytearray()
     stack = [int(root)]
+    # cycle bound mirroring the native walk: with T terminals emitted so
+    # far, a valid acyclic derivation has popped at most 2T + n_rules + 1
+    # nodes (T leaves, <T expanded internals, one left spine <= n_rules)
+    pops = 0
     while stack:
+        pops += 1
+        if pops > 2 * len(out) + len(rules) + 2:
+            raise ValueError("corrupt esp container: cyclic rule graph")
         x = stack.pop()
         if x < 256:
             out.append(x)

@@ -21,9 +21,12 @@ inner nodes binned by string depth, processed longest-first, each node's
 occurrence list = the suffixes in its subtree, greedy non-overlap selection
 with the min_shorter re-add rule (a node whose tail is dead re-enters the
 bin of its longest free prefix when that exceeds the parent depth).
-"bst"/"sim_st" (BSTStrategy.hpp, SimSTStrategy.hpp) differ from st only in
-tree containers and micro-filtering (both WIP in the reference,
-registry_config.py:207-212) and route to the st walk here.
+"bst" (BSTStrategy.hpp) walks its own BinarySuffixTree (see
+`bst_compute_rules` below), and "sim_st" (SimSTStrategy.hpp) runs its own
+simulated-suffix-tree pass over SA/LCP intervals (`simst_compute_rules`);
+both match the st strategy's selection semantics but are distinct
+implementations, mirroring the reference's separate (WIP-grade,
+registry_config.py:207-212) strategy classes.
 """
 
 from __future__ import annotations

@@ -190,6 +190,15 @@ class LZ78Compressor(Compressor):
 
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
+        # the reference parses dict_size but its reset path is flagged
+        # broken (LZ78Compressor.hpp:110-112 "currently broken") — reject
+        # a non-default value instead of silently accepting it
+        if int(self.env.option("dict_size").as_integer()) != 0:
+            raise ValueError(
+                "lz78(dict_size=N) is not supported: the reference's "
+                "dictionary reset is flagged broken "
+                "(LZ78Compressor.hpp:110-112); omit the option"
+            )
         trie_av = self.env.option("lz78trie").as_algorithm()
         with StatPhase("Lz78 compression") as phase:
             parents, chars = lz78_parse(

@@ -133,6 +133,14 @@ class LZWCompressor(Compressor):
 
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
+        # mirror lz78: the reference's dict_size reset is flagged broken
+        # (LZ78Compressor.hpp:110-112), so a non-default value is an error
+        if int(self.env.option("dict_size").as_integer()) != 0:
+            raise ValueError(
+                "lzw(dict_size=N) is not supported: the reference's "
+                "dictionary reset is flagged broken "
+                "(LZ78Compressor.hpp:110-112); omit the option"
+            )
         trie = self.env.option("lz78trie").as_algorithm().name
         with StatPhase("LZW Compression") as phase:
             codes = lzw_parse(data, trie)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
-__all__ = ["accelerator_backend", "use_device"]
+__all__ = ["accelerator_backend", "tunnel_backend", "use_device"]
 
 
 @lru_cache(maxsize=1)
@@ -48,6 +48,19 @@ def accelerator_backend() -> str | None:
     except Exception:
         return None
     return backend if backend not in ("cpu",) else None
+
+
+@lru_cache(maxsize=1)
+def tunnel_backend() -> bool:
+    """True when the accelerator is reached through a remote tunnel (the
+    experimental "axon" platform): host<->device transfers then ride a
+    network relay, so stages whose output must land in host memory pay a
+    transfer cost that does not exist on a locally attached TPU. Gates
+    that win on-device but lose on the fetch (e.g. the 0.227 GB/s
+    bit-serial Huffman decode, 3x the host decoder data-resident, but
+    tunnel-transfer-bound end-to-end) stay host-side behind a tunnel and
+    open on local TPUs."""
+    return accelerator_backend() == "axon"
 
 
 def use_device(env_var: str, min_n: int = 0, n: int | None = None) -> bool:
