@@ -132,6 +132,38 @@ def test_sa_jax_matches():
         assert (got == naive_suffix_array(text)).all(), text[:40]
 
 
+def test_sa_staged_device_matches():
+    """suffix_array_device (staged Larsson-Sadakane, the TPU default) must
+    match the naive SA on corner cases and randoms, return a consistent
+    ISA, and survive the compact-stage cascade (sizes > 8192 engage it)."""
+    pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    from tudocomp_tpu.ds.suffix_array import suffix_array_device
+
+    for text in CASES + rand_cases()[:6]:
+        arr = np.frombuffer(text, np.uint8)
+        got = np.asarray(suffix_array_device(jnp.asarray(arr)))
+        assert (got == naive_suffix_array(text)).all(), text[:40]
+
+    rng = np.random.default_rng(3)
+    big = rng.integers(97, 101, 40000).astype(np.uint8)
+    big[-1] = 0
+    sa, isa = suffix_array_device(jnp.asarray(big), return_isa=True)
+    sa, isa = np.asarray(sa), np.asarray(isa)
+    from tudocomp_tpu.ds.suffix_array import suffix_array_numpy
+
+    assert (sa == suffix_array_numpy(big)).all()
+    assert (isa[sa] == np.arange(len(big))).all()
+    # repetitive input exercises deep doubling through every stage
+    rep = np.tile(np.frombuffer(b"abcabd", np.uint8), 5000).copy()
+    rep[-1] = 0
+    assert (
+        np.asarray(suffix_array_device(jnp.asarray(rep)))
+        == suffix_array_numpy(rep)
+    ).all()
+
+
 def test_device_sa_flag(monkeypatch):
     """TDC_DEVICE_SA=1 routes SA construction through the JAX
     prefix-doubling path; result must equal the native SA-IS."""

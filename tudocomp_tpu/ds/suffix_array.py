@@ -87,6 +87,172 @@ def suffix_array_jax(text, n_iters: int = None):
     return sa
 
 
+def suffix_array_device(text, return_isa: bool = False, q: int = 4):
+    """Staged Larsson-Sadakane prefix doubling, TPU-first. [n] u8 -> [n] i32.
+
+    Replaces the two-key doubling of `suffix_array_jax` with the design
+    measured fastest on v5e (etc/probe_sort.py): XLA variadic sort costs
+    ~17 ms per extra 16 Mi operand while gathers cost ~150 ms, so
+
+      * the initial round sorts FOUR packed words (3 chars @ 10 bits each,
+        char+1 so a 0 pad byte orders shorter suffixes first) -> the loop
+        starts at k=12 instead of k=1;
+      * each round sorts `q` keys (rank[i], rank[i+k], .., rank[i+(q-1)k])
+        so k multiplies by q per round (log_q rounds, not log_2);
+      * ranks use the head-rank convention (rank = SA index of the group
+        head), so a finished element's rank IS its final SA position and
+        the final rank array IS the ISA — ISAFromSA costs nothing here;
+      * groups that become singletons are retired: the active set drains
+        through a cascade of progressively smaller work arrays (n, n/4,
+        n/16, n/64), each stage a while_loop that refines until its
+        actives fit the next stage. All stages trace into ONE jit — no
+        host round-trips (the remote-TPU tunnel charges 10-300 ms per
+        sync, PERF.md) — and compact-stage rounds pay gathers only on the
+        surviving actives.
+
+    Cites: reference divsufsort (util/divsufsort.hpp:254) is what this
+    replaces; SURVEY.md §7 step 5.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = int(text.shape[0])
+    if n == 0:
+        out = jnp.zeros(0, jnp.int32)
+        return (out, out) if return_isa else out
+    if n == 1:
+        out = jnp.zeros(1, jnp.int32)
+        return (out, out) if return_isa else out
+
+    I32 = jnp.int32
+    idx = jnp.arange(n, dtype=I32)
+    cp1 = text.astype(I32) + 1  # 1..256; out-of-range pads are 0
+
+    def chshift(j):
+        return jnp.where(idx < n - j, jnp.roll(cp1, -j), 0)
+
+    def group_ranks(diff):
+        """head-rank per sorted slot + finished flag (singleton group)."""
+        head = jax.lax.cummax(jnp.where(diff, idx[: diff.shape[0]], 0))
+        nxt = jnp.concatenate([diff[1:], jnp.ones(1, bool)])
+        return head, diff & nxt
+
+    # ---- initial order: 4 words = 12-char prefixes --------------------
+    words = []
+    for m in range(4):
+        w = (chshift(3 * m) << 20) | (chshift(3 * m + 1) << 10) | chshift(3 * m + 2)
+        words.append(w)
+    *w_ord, order = jax.lax.sort((*words, idx), num_keys=4)
+    diff = jnp.ones(n, bool).at[1:].set(
+        (w_ord[0][1:] != w_ord[0][:-1])
+        | (w_ord[1][1:] != w_ord[1][:-1])
+        | (w_ord[2][1:] != w_ord[2][:-1])
+        | (w_ord[3][1:] != w_ord[3][:-1])
+    )
+    head, fin_ord = group_ranks(diff)
+    _, rank_full, fin_full = jax.lax.sort(
+        (order, head, fin_ord.astype(I32)), num_keys=1
+    )
+    k0 = 12
+
+    def sorted_diff(g_ord, key_ords):
+        d = jnp.ones(g_ord.shape[0], bool).at[1:].set(
+            g_ord[1:] != g_ord[:-1]
+        )
+        for ko in key_ords:
+            d = d.at[1:].set(d[1:] | (ko[1:] != ko[:-1]))
+        return d
+
+    # ---- stage 1: full-size rounds (keys by roll, cheap) --------------
+    def full_round(state):
+        rank_full, _fin, k, _na = state
+        keys = [rank_full]
+        for m in range(1, q):
+            keys.append(
+                jnp.where(idx < n - m * k, jnp.roll(rank_full, -(m * k)), -1)
+            )
+        *k_ord, order = jax.lax.sort((*keys, idx), num_keys=q)
+        d = sorted_diff(k_ord[0], k_ord[1:])
+        head, fin_ord = group_ranks(d)
+        _, rank_full, fin_i = jax.lax.sort(
+            (order, head, fin_ord.astype(I32)), num_keys=1
+        )
+        na = jnp.sum((fin_i == 0).astype(I32))
+        return rank_full, fin_i, k * q, na
+
+    def run_full_stage(state, target):
+        def cond(state):
+            return state[3] > target
+
+        return jax.lax.while_loop(cond, full_round, state)
+
+    # ---- compact stages: actives only, keys by gather -----------------
+    def compact_round(state):
+        g, pos, _fin, k, _na, rank_full = state
+        keys = [g]
+        for m in range(1, q):
+            off = pos + m * k
+            keys.append(
+                jnp.where(
+                    off < n, rank_full[jnp.clip(off, 0, n - 1)], -1
+                )
+            )
+        *k_ord, pos = jax.lax.sort((*keys, pos), num_keys=q)
+        g_ord = k_ord[0]
+        gchg = jnp.ones(g_ord.shape[0], bool).at[1:].set(
+            g_ord[1:] != g_ord[:-1]
+        )
+        d = sorted_diff(g_ord, k_ord[1:])
+        j = idx[: g_ord.shape[0]]
+        gh = jax.lax.cummax(jnp.where(gchg, j, 0))
+        sgh = jax.lax.cummax(jnp.where(d, j, 0))
+        g_new = g_ord + (sgh - gh)
+        nxt = jnp.concatenate([d[1:], jnp.ones(1, bool)])
+        fin = (d & nxt).astype(I32)
+        live = g_new < n  # dummies carry g >= n and never scatter back
+        rank_full = rank_full.at[jnp.where(live, pos, n)].set(
+            g_new, mode="drop"
+        )
+        na = jnp.sum((live & (fin == 0)).astype(I32))
+        return g_new, pos, fin, k * q, na, rank_full
+
+    def extract(sortkey, pos_src, m):
+        """actives (sortkey < n) first, in rank order; pad with dummies."""
+        g_s, pos_s = jax.lax.sort((sortkey, pos_src), num_keys=1)
+        return g_s[:m], pos_s[:m]
+
+    def run_compact_stage(g, pos, fin, k, na, rank_full, target):
+        def cond(state):
+            return state[4] > target
+
+        return jax.lax.while_loop(
+            cond, compact_round, (g, pos, fin, k, na, rank_full)
+        )
+
+    na0 = jnp.sum((fin_full == 0).astype(I32))
+    caps = [m for m in (n // 4, n // 16, n // 64) if m >= 2048]
+    targets = caps + [0]
+    state = run_full_stage((rank_full, fin_full, jnp.asarray(k0, I32), na0),
+                           targets[0])
+    rank_full, fin_full, k, na = state
+    if caps:
+        sortkey = jnp.where(fin_full != 0, n, rank_full)
+        g, pos = extract(sortkey, idx, caps[0])
+        fin = (g >= n).astype(I32)
+        for i, m in enumerate(caps):
+            if i > 0:
+                sortkey = jnp.where(fin != 0, n, g)
+                g, pos = extract(sortkey, pos, m)
+                fin = (g >= n).astype(I32)
+            g, pos, fin, k, na, rank_full = run_compact_stage(
+                g, pos, fin, k, na, rank_full, targets[i + 1]
+            )
+    _, sa = jax.lax.sort((rank_full, idx), num_keys=1)
+    if return_isa:
+        return sa, rank_full
+    return sa
+
+
 def inverse_permutation(sa: np.ndarray) -> np.ndarray:
     """ISA[sa[i]] = i (ds/ISAFromSA.hpp:12-61)."""
     isa = np.empty(len(sa), dtype=np.int32)
