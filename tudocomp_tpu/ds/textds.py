@@ -51,6 +51,7 @@ class TextDS:
         self._phi: Optional[np.ndarray] = None
         self._plcp: Optional[np.ndarray] = None
         self._lcp: Optional[np.ndarray] = None
+        self._isa_device = None  # free ISA byproduct of the device SA
 
     def __len__(self) -> int:
         return len(self.text)
@@ -76,22 +77,37 @@ class TextDS:
                 n = len(self.text)
                 from ..device import use_device
 
-                if (
-                    n
-                    and os.environ.get("TDC_DEVICE_SA") == "1"
-                    and use_device("TDC_DEVICE_SA", n=n)
-                ):
-                    # device prefix-doubling SA. OPT-IN (TDC_DEVICE_SA=1):
-                    # measured on v5e (etc/probe_crossover.py, english,
-                    # host-fetch syncs): host SA-IS wins at every size —
-                    # 65 ms vs 134 ms at 1 MiB, 0.45 s vs 0.58 s at 4 MiB,
-                    # 2.24 s vs 3.08 s at 16 MiB. The device path remains
-                    # for on-device pipelines that keep the text resident.
-                    from .suffix_array import suffix_array_jax
+                from ..device import tunnel_backend
 
-                    self._sa = np.asarray(suffix_array_jax(self.text)).astype(
-                        np.int32
+                force = os.environ.get("TDC_DEVICE_SA")
+                # staged-compaction device SA (suffix_array_device): the
+                # KERNEL beats native SA-IS 3-6x at every measured size
+                # (412 ms vs 2496 ms at 16 MiB english on v5e,
+                # etc/probe_sa2.py) and yields the ISA for free. For this
+                # HOST-consuming path the arrays must come back to host
+                # memory: on a locally attached TPU that is PCIe-cheap
+                # (device default-on >= 256 KiB); through the remote axon
+                # tunnel the 30-90 MB/s transfers eat the entire win
+                # (e2e 2.7 s vs 2.6 s host at 16 MiB, etc/probe_sa2.py) —
+                # stay host there unless TDC_DEVICE_SA=1. Device-resident
+                # pipelines call suffix_array_device directly and skip the
+                # download.
+                dev_ok = (
+                    force == "1"
+                    if tunnel_backend()
+                    else use_device("TDC_DEVICE_SA", min_n=256 << 10, n=n)
+                )
+                if n and dev_ok and use_device("TDC_DEVICE_SA", n=n):
+                    import jax.numpy as jnp
+
+                    from .suffix_array import suffix_array_device
+
+                    sa_d, isa_d = suffix_array_device(
+                        jnp.asarray(self.text), return_isa=True
                     )
+                    self._sa = np.asarray(sa_d).astype(np.int32)
+                    if self._isa is None:
+                        self._isa_device = isa_d  # fetched on require_isa
                 elif lib is not None and hasattr(lib, "tdc_sais") and n:
                     sa = np.empty(n, dtype=np.int32)
                     rc = lib.tdc_sais(self.text, n, sa)
@@ -114,6 +130,11 @@ class TextDS:
                     s = SparseISA(self.require_sa(), t=max(1, self.sparse_isa_t))
                     ph.log("provider", "sparse_isa")
                     self._isa = s.to_array_via_queries().astype(np.int32)
+                elif self._isa_device is not None:
+                    # the staged device SA's head-rank array IS the ISA
+                    self._isa = np.asarray(self._isa_device).astype(np.int32)
+                    self._isa_device = None
+                    ph.log("provider", "device_sa_ranks")
                 else:
                     self._isa = inverse_permutation(self.require_sa())
         return self._isa
