@@ -1533,39 +1533,63 @@ namespace {
 
 // s: values in [0, K), s[n-1] must be the unique smallest value.
 // sa: output buffer of length n.
-void sais_rec(const int32_t* s, int32_t* sa, int64_t n, int64_t K) {
+// Templated on the character type so the top level runs directly on the
+// u8 text (4x less read traffic than widening to int32) ; the per-level
+// histogram is counted ONCE and bucket cursors are re-derived from it
+// (the original recounted the full histogram on every induce pass — four
+// O(n) counting sweeps per level).
+template <typename CharT>
+void sais_rec(CharT* s, int32_t* sa, int64_t n, int64_t K) {
     if (n == 1) {
         sa[0] = 0;
         return;
     }
+    // the S/L type bit rides the spare top bit of each character, so the
+    // induce loops pay ONE random read (s[j]) instead of two (s[j]+t[j]);
+    // alphabet values stay well below the bit (<= 257 at the top level,
+    // < n/2 < 2^30 in recursions)
+    constexpr CharT TBIT = (CharT)((CharT)1 << (sizeof(CharT) * 8 - 2));
+    constexpr CharT CMASK = (CharT)(TBIT - 1);
     std::vector<uint8_t> t((size_t)n);
     t[n - 1] = 1;
     for (int64_t i = n - 2; i >= 0; --i)
         t[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && t[i + 1]);
     auto isLMS = [&](int64_t i) { return i > 0 && t[i] && !t[i - 1]; };
 
+    std::vector<int64_t> cnt((size_t)K + 1, 0);
+    for (int64_t i = 0; i < n; ++i) cnt[s[i]]++;
+    for (int64_t i = 0; i < n; ++i)
+        if (t[i]) s[i] |= TBIT;
     std::vector<int64_t> bkt((size_t)K + 1);
     auto getBuckets = [&](bool end) {
-        std::fill(bkt.begin(), bkt.end(), 0);
-        for (int64_t i = 0; i < n; ++i) bkt[s[i]]++;
         int64_t sum = 0;
         for (int64_t k = 0; k <= K; ++k) {
-            sum += bkt[k];
-            bkt[k] = end ? sum : sum - bkt[k];
+            sum += cnt[k];
+            bkt[k] = end ? sum : sum - cnt[k];
         }
     };
     auto induceL = [&]() {
         getBuckets(false);
         for (int64_t i = 0; i < n; ++i) {
-            int64_t j = sa[i] - 1;
-            if (sa[i] > 0 && !t[j]) sa[bkt[s[j]]++] = (int32_t)j;
+            int32_t pf = sa[i + 16 < n ? i + 16 : n - 1];
+            if (pf > 0) __builtin_prefetch(&s[pf - 1]);
+            int32_t sv = sa[i];
+            if (sv > 0) {
+                CharT v = s[sv - 1];
+                if (!(v & TBIT)) sa[bkt[v]++] = sv - 1;
+            }
         }
     };
     auto induceS = [&]() {
         getBuckets(true);
         for (int64_t i = n - 1; i >= 0; --i) {
-            int64_t j = sa[i] - 1;
-            if (sa[i] > 0 && t[j]) sa[--bkt[s[j]]] = (int32_t)j;
+            int32_t pf = sa[i - 16 >= 0 ? i - 16 : 0];
+            if (pf > 0) __builtin_prefetch(&s[pf - 1]);
+            int32_t sv = sa[i];
+            if (sv > 0) {
+                CharT v = s[sv - 1];
+                if (v & TBIT) sa[--bkt[v & CMASK]] = sv - 1;
+            }
         }
     };
 
@@ -1573,7 +1597,7 @@ void sais_rec(const int32_t* s, int32_t* sa, int64_t n, int64_t K) {
     getBuckets(true);
     std::fill(sa, sa + n, -1);
     for (int64_t i = 1; i < n; ++i)
-        if (isLMS(i)) sa[--bkt[s[i]]] = (int32_t)i;
+        if (isLMS(i)) sa[--bkt[s[i] & CMASK]] = (int32_t)i;
     induceL();
     induceS();
 
@@ -1592,8 +1616,10 @@ void sais_rec(const int32_t* s, int32_t* sa, int64_t n, int64_t K) {
             diff = true;
         } else {
             for (int64_t d = 0;; ++d) {
-                if (pos + d >= n || prev + d >= n || s[pos + d] != s[prev + d] ||
-                    t[pos + d] != t[prev + d]) {
+                // packed chars carry the type bit: one compare covers
+                // both the character and the S/L type
+                if (pos + d >= n || prev + d >= n ||
+                    s[pos + d] != s[prev + d]) {
                     diff = true;
                     break;
                 }
@@ -1626,7 +1652,7 @@ void sais_rec(const int32_t* s, int32_t* sa, int64_t n, int64_t K) {
     for (int64_t i = n1 - 1; i >= 0; --i) {
         int64_t j = sa[i];
         sa[i] = -1;
-        sa[--bkt[s[j]]] = (int32_t)j;
+        sa[--bkt[s[j] & CMASK]] = (int32_t)j;
     }
     induceL();
     induceS();
@@ -1645,9 +1671,10 @@ int32_t tdc_sais(const uint8_t* text, int64_t n, int32_t* sa_out) {
         sa_out[0] = 0;
         return 0;
     }
-    // shift alphabet by +1 and append a unique 0 sentinel
-    std::vector<int32_t> s((size_t)n + 1);
-    for (int64_t i = 0; i < n; ++i) s[i] = (int32_t)text[i] + 1;
+    // shift alphabet by +1 and append a unique 0 sentinel; u16 keeps the
+    // top-level induce sweeps at half the read traffic of an i32 copy
+    std::vector<uint16_t> s((size_t)n + 1);
+    for (int64_t i = 0; i < n; ++i) s[i] = (uint16_t)(text[i] + 1);
     s[n] = 0;
     std::vector<int32_t> sa((size_t)n + 1);
     sais_rec(s.data(), sa.data(), n + 1, 257);
@@ -3053,6 +3080,38 @@ void tdc_plcp_from_phi(const uint8_t* text, int64_t n, const int32_t* phi,
         if (l) --l;
     }
     if (n > 0) plcp[n - 1] = 0;
+}
+
+// Random-access permutation helpers for the SA pipeline's derived arrays
+// (ISAFromSA.hpp / PhiFromSA.hpp / LCPFromPLCP.hpp). numpy's fancy
+// indexing is memory-latency-bound on 16M-scale scatters; issuing
+// software prefetches ~32 iterations ahead overlaps the misses.
+
+void tdc_inverse_perm(const int32_t* sa, int64_t n, int32_t* isa) {
+    const int64_t D = 32;
+    for (int64_t i = 0; i < n; ++i) {
+        if (i + D < n) __builtin_prefetch(&isa[sa[i + D]], 1);
+        isa[sa[i]] = (int32_t)i;
+    }
+}
+
+void tdc_gather_i32(const int32_t* vals, const int32_t* idx, int64_t n,
+                    int32_t* out) {
+    const int64_t D = 32;
+    for (int64_t i = 0; i < n; ++i) {
+        if (i + D < n) __builtin_prefetch(&vals[idx[i + D]]);
+        out[i] = vals[idx[i]];
+    }
+}
+
+void tdc_phi_from_sa(const int32_t* sa, int64_t n, int32_t* phi) {
+    if (n == 0) return;
+    const int64_t D = 32;
+    phi[sa[0]] = sa[n - 1];
+    for (int64_t i = 1; i < n; ++i) {
+        if (i + D < n) __builtin_prefetch(&phi[sa[i + D]], 1);
+        phi[sa[i]] = sa[i - 1];
+    }
 }
 
 // BWT LF-walk reconstruction (ds/bwt.hpp:84-95); out has length n-1.

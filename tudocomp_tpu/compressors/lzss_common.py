@@ -32,9 +32,26 @@ class Factors:
         self.pos = np.asarray(pos, dtype=np.int64)
         self.src = np.asarray(src, dtype=np.int64)
         self.len = np.asarray(length, dtype=np.int64)
+        self._covered = None
 
     def __len__(self):
         return len(self.pos)
+
+    def covered(self, n: int) -> np.ndarray:
+        """bool[n]: text positions covered by a factor. Cached — the
+        literal feed and encode_text share one sweep (profiling showed the
+        duplicated int64 add.at+cumsum pair costing ~0.9 s at 16 MiB)."""
+        if self._covered is None or len(self._covered) != n:
+            if len(self):
+                # factors never overlap, so starts and ends are each
+                # unique: plain fancy assignment beats bincount/add.at
+                delta = np.zeros(n + 1, dtype=np.int32)
+                delta[self.pos] = 1
+                delta[np.minimum(self.pos + self.len, n)] -= 1
+                self._covered = np.cumsum(delta[:n], dtype=np.int32) > 0
+            else:
+                self._covered = np.zeros(n, dtype=bool)
+        return self._covered
 
     @property
     def shortest(self) -> int:
@@ -47,13 +64,7 @@ class Factors:
 
 def uncovered_literals(text: np.ndarray, factors: Factors) -> np.ndarray:
     """Characters not covered by any factor, in text order (TextLiterals)."""
-    n = len(text)
-    covered = np.zeros(n + 1, dtype=np.int64)
-    if len(factors):
-        np.add.at(covered, factors.pos, 1)
-        np.add.at(covered, factors.pos + factors.len, -1)
-    covered = np.cumsum(covered[:n]) > 0
-    return text[~covered]
+    return text[~factors.covered(len(text))]
 
 
 def encode_text(enc, w, text: np.ndarray, factors: Factors) -> None:
@@ -81,12 +92,7 @@ def encode_text(enc, w, text: np.ndarray, factors: Factors) -> None:
     enc.encode(fdist_max, text_r)
 
     # literal characters inside the gaps, grouped per segment
-    lit_mask = np.zeros(n + 1, dtype=np.int64)
-    if nf:
-        np.add.at(lit_mask, fpos, 1)
-        np.add.at(lit_mask, np.minimum(fpos + flen, n), -1)
-    covered = np.cumsum(lit_mask[:n]) > 0
-    gap_literals = text[~covered]
+    gap_literals = text[~factors.covered(n)]
 
     has_gap = gaps > 0
     # trailing segment emits flag+gap+literals only when a gap exists

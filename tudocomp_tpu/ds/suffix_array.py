@@ -253,10 +253,22 @@ def suffix_array_device(text, return_isa: bool = False, q: int = 4):
     return sa
 
 
+def _lib_with(fn_name: str):
+    from .. import native
+
+    lib = native.get_lib()
+    return lib if lib is not None and hasattr(lib, fn_name) else None
+
+
 def inverse_permutation(sa: np.ndarray) -> np.ndarray:
-    """ISA[sa[i]] = i (ds/ISAFromSA.hpp:12-61)."""
-    isa = np.empty(len(sa), dtype=np.int32)
-    isa[sa] = np.arange(len(sa), dtype=np.int32)
+    """ISA[sa[i]] = i (ds/ISAFromSA.hpp:12-61); prefetched native scatter."""
+    n = len(sa)
+    isa = np.empty(n, dtype=np.int32)
+    lib = _lib_with("tdc_inverse_perm") if n else None
+    if lib is not None:
+        lib.tdc_inverse_perm(np.ascontiguousarray(sa, np.int32), n, isa)
+        return isa
+    isa[sa] = np.arange(n, dtype=np.int32)
     return isa
 
 
@@ -265,6 +277,10 @@ def phi_from_sa(sa: np.ndarray) -> np.ndarray:
     n = len(sa)
     phi = np.empty(n, dtype=np.int32)
     if n == 0:
+        return phi
+    lib = _lib_with("tdc_phi_from_sa")
+    if lib is not None:
+        lib.tdc_phi_from_sa(np.ascontiguousarray(sa, np.int32), n, phi)
         return phi
     phi[sa[1:]] = sa[:-1]
     phi[sa[0]] = sa[n - 1]
@@ -318,6 +334,18 @@ def plcp_from_phi_numpy(text: np.ndarray, phi: np.ndarray) -> np.ndarray:
 
 def lcp_from_plcp(plcp: np.ndarray, sa: np.ndarray) -> np.ndarray:
     """LCP[i] = PLCP[sa[i]], LCP[0] = 0 (ds/LCPFromPLCP.hpp:38-49)."""
+    n = len(sa)
+    lib = _lib_with("tdc_gather_i32") if n else None
+    if lib is not None:
+        lcp = np.empty(n, dtype=np.int32)
+        lib.tdc_gather_i32(
+            np.ascontiguousarray(plcp, np.int32),
+            np.ascontiguousarray(sa, np.int32),
+            n,
+            lcp,
+        )
+        lcp[0] = 0
+        return lcp
     lcp = plcp[sa].astype(np.int32)
     if len(lcp):
         lcp[0] = 0

@@ -138,6 +138,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.tdc_sais.argtypes = [u8p, i64, i32p]
     lib.tdc_plcp_from_phi.restype = None
     lib.tdc_plcp_from_phi.argtypes = [u8p, i64, i32p, i32p]
+    lib.tdc_inverse_perm.restype = None
+    lib.tdc_inverse_perm.argtypes = [i32p, i64, i32p]
+    lib.tdc_gather_i32.restype = None
+    lib.tdc_gather_i32.argtypes = [i32p, i32p, i64, i32p]
+    lib.tdc_phi_from_sa.restype = None
+    lib.tdc_phi_from_sa.argtypes = [i32p, i64, i32p]
     lib.tdc_bwt_walk.restype = None
     lib.tdc_bwt_walk.argtypes = [u8p, i64p, i64, u8p]
     lib.tdc_lzss_window_parse.restype = i64
