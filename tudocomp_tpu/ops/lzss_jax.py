@@ -27,12 +27,20 @@ import numpy as np
 
 
 def ansv_minlcp(sa, lcp):
-    """PSV/NSV over the SA with folded min-LCP, by pointer doubling.
+    """PSV/NSV over the SA with folded min-LCP, by compacted chain jumps.
 
     Args: sa [n] i32, lcp [n] i32 (lcp[0] = 0).
     Returns (psv_src, psv_lcp, nsv_src, nsv_lcp), each [n] i32;
     src = sa[psv/nsv position] or -1 where none exists, lcp = min LCP over
     the skipped SA range (0 where none).
+
+    Round 1 resolves the ~half of all positions whose smaller neighbour is
+    adjacent with pure rolls; survivors drain through progressively
+    smaller compact work arrays (n/2, n/8, n/32) whose rounds pay gathers
+    only on live elements — same staged pattern as suffix_array_device.
+    Chain shortcuts through resolved elements jump whole monotone runs, so
+    live counts fall geometrically on permutation-like SAs (gathers cost
+    ~9.5 ns/element on v5e, the dominant term — PERF.md).
     """
     import jax
     import jax.numpy as jnp
@@ -44,45 +52,106 @@ def ansv_minlcp(sa, lcp):
         z = jnp.zeros(0, jnp.int32)
         return z, z, z, z
     idx = jnp.arange(n, dtype=jnp.int32)
+    caps = [m for m in (n // 2, n // 8, n // 32) if m >= 2048]
+    targets = caps + [0]
 
-    def doubling(p0, m0, found_fn):
-        # pointer doubling halves chains through LIVE nodes; chains of
-        # already-found nodes advance one hop per round, so the round
-        # count is data-dependent: loop until every position resolves
-        def live_of(p):
-            return ~found_fn(p, jnp.clip(p, 0, n - 1))
+    def side(p0, m0, found_fn):
+        # p_full/m_full are SA-index-order carries; found_fn(p, sa_own)
+        # decides whether candidate p terminates the chain for an element
+        # whose own sa value is sa_own.
+        def live_of(p, sa_own):
+            return ~found_fn(p, sa[jnp.clip(p, 0, n - 1)], sa_own)
 
-        def cond(state):
-            p, _m = state
-            return jnp.any(live_of(p))
+        def full_round(state):
+            p, m, _na = state
+            live = live_of(p, sa)
+            c = jnp.clip(p, 0, n - 1)
+            p2 = jnp.where(live, p[c], p)
+            m2 = jnp.where(live, jnp.minimum(m, m[c]), m)
+            na = jnp.sum(live_of(p2, sa).astype(jnp.int32))
+            return p2, m2, na
 
-        def body(state):
-            p, m = state
-            pc = jnp.clip(p, 0, n - 1)
-            live = live_of(p)
-            p2 = p[pc]
-            m2 = jnp.minimum(m, m[pc])
-            p = jnp.where(live, p2, p)
-            m = jnp.where(live, m2, m)
-            return p, m
+        def run_full(state, target):
+            return jax.lax.while_loop(
+                lambda s: s[2] > target, full_round, state
+            )
 
-        return jax.lax.while_loop(cond, body, (p0, m0))
+        na0 = jnp.sum(live_of(p0, sa).astype(jnp.int32))
+        p, m, na = run_full((p0, m0, na0), targets[0])
+
+        if caps:
+            live = live_of(p, sa)
+
+            def extract(sortkey, src_ids, cap):
+                _, ids = jax.lax.sort((sortkey, src_ids), num_keys=1)
+                return ids[:cap]
+
+            ids = extract(jnp.where(live, idx, n), idx, caps[0])
+
+            def compact_round(state):
+                ids, pc, mc, livec, na, p_full, m_full = state
+                c = jnp.clip(pc, 0, n - 1)
+                upd = livec
+                p2 = jnp.where(upd, p_full[c], pc)
+                m2 = jnp.where(upd, jnp.minimum(mc, m_full[c]), mc)
+                sa_ids = sa[jnp.clip(ids, 0, n - 1)]
+                livec = upd & ~found_fn(
+                    p2, sa[jnp.clip(p2, 0, n - 1)], sa_ids
+                )
+                drop = jnp.where(ids < n, ids, n)
+                p_full = p_full.at[drop].set(p2, mode="drop")
+                m_full = m_full.at[drop].set(m2, mode="drop")
+                na = jnp.sum(livec.astype(jnp.int32))
+                return ids, p2, m2, livec, na, p_full, m_full
+
+            for i, cap in enumerate(caps):
+                if i > 0:
+                    ids = extract(
+                        jnp.where(livec, ids, n), ids, cap
+                    )
+                pc = p[jnp.clip(ids, 0, n - 1)]
+                mc = m[jnp.clip(ids, 0, n - 1)]
+                sa_ids = sa[jnp.clip(ids, 0, n - 1)]
+                livec = (ids < n) & ~found_fn(
+                    pc, sa[jnp.clip(pc, 0, n - 1)], sa_ids
+                )
+                state = (ids, pc, mc, livec,
+                         jnp.sum(livec.astype(jnp.int32)), p, m)
+                state = jax.lax.while_loop(
+                    lambda s: s[4] > targets[i + 1], compact_round, state
+                )
+                ids, pc, mc, livec, _na, p, m = state
+        return p, m
 
     # PSV: candidate left neighbour; m covers lcp over (p, j]
-    def psv_found(p, pc):
-        return (p < 0) | (sa[pc] < sa)
+    def psv_found(p, sa_p, sa_own):
+        return (p < 0) | (sa_p < sa_own)
 
-    p, m = doubling(idx - 1, lcp.astype(jnp.int32), psv_found)
+    sa_prev = jnp.roll(sa, 1)
+    found1 = (idx == 0) | (sa_prev < sa)
+    p0 = jnp.where(found1, idx - 1, idx - 2)
+    m0 = jnp.where(
+        found1, lcp, jnp.minimum(lcp, jnp.roll(lcp, 1))
+    ).astype(jnp.int32)
+    p, m = side(p0, m0, psv_found)
     psv_ok = p >= 0
     psv_src = jnp.where(psv_ok, sa[jnp.clip(p, 0, n - 1)], -1)
     psv_lcp = jnp.where(psv_ok, m, 0)
 
     # NSV: candidate right neighbour; m covers lcp over (j, p]
-    def nsv_found(p, pc):
-        return (p >= n) | (sa[pc] < sa)
+    def nsv_found(p, sa_p, sa_own):
+        return (p >= n) | (sa_p < sa_own)
 
-    m0 = jnp.where(idx + 1 < n, jnp.roll(lcp, -1), 0).astype(jnp.int32)
-    p, m = doubling(idx + 1, m0, nsv_found)
+    sa_next = jnp.roll(sa, -1)
+    lcp_next = jnp.where(idx + 1 < n, jnp.roll(lcp, -1), 0).astype(jnp.int32)
+    foundn = (idx == n - 1) | (sa_next < sa)
+    p0 = jnp.where(foundn, idx + 1, idx + 2)
+    m0 = jnp.where(
+        foundn,
+        lcp_next,
+        jnp.minimum(lcp_next, jnp.where(idx + 2 < n, jnp.roll(lcp, -2), 0)),
+    ).astype(jnp.int32)
+    p, m = side(p0, m0, nsv_found)
     nsv_ok = p < n
     nsv_src = jnp.where(nsv_ok, sa[jnp.clip(p, 0, n - 1)], -1)
     nsv_lcp = jnp.where(nsv_ok, m, 0)
