@@ -160,3 +160,96 @@ def test_golden_encode_ternary():
     # + terminator 11; ternary(98): [1,2,1,0,1] -> 01 10 01 00 01 + 11
     # -> 24 bits 24 76 47, aligned -> trailing 0x00
     assert roundtrip_raw("encode(ternary)", b"ab") == bytes([0x24, 0x76, 0x47, 0x00])
+
+
+# ---------------------------------------------------------------------------
+# lcpcomp(coder=ascii) — LCPCompressor.hpp:101-138 encodes through the
+# SHARED lzss stream (lzss/LZSSCoding.hpp:19-92): header
+# n,flen_min,flen_max,fdist_max then per factor flag/gap/literals/src/len,
+# trailing flag+gap+literals. ASCII coder: ints as decimal + ':', bit as
+# '0'/'1', literals raw (ASCIICoder.hpp:32-48).
+
+
+def test_golden_lcpcomp_ascii_no_factors():
+    # "abc" + appended sentinel -> text "abc\0", n=4; threshold 5 -> no
+    # factors. flen_min keeps the reference's INDEX_MAX init artifact
+    # (LZSSFactors.hpp:28): 2^32-1 = 4294967295; flen_max 0; fdist_max =
+    # n - 0 = 4. Then trailing gap: '1', "4:", literals "abc\0".
+    assert (
+        roundtrip_raw("lcpcomp(coder=ascii)", b"abc")
+        == b"4:4294967295:0:4:14:abc\x00\x00"
+    )
+
+
+def test_golden_lcpcomp_ascii_one_factor():
+    # "abcdeabcde" + sentinel: n=11. SA=[10,5,0,6,1,7,2,8,3,9,4],
+    # LCP=[0,0,5,0,4,0,3,0,2,0,1]; threshold 5 admits only the lcp=5 pair
+    # (SA index 2): factor pos=sa[2]=0, src=sa[1]=5, len=5 — a forward
+    # reference, allowed by lcpcomp (SEA'17). flatten leaves it (no other
+    # factor covers src). Header: n=11, flen 5/5, fdist_max=max(0,11-5)=6.
+    # Factor at p=0: '0', src "5:", len "5:"; trailing '1' "6:" + "abcde\0".
+    assert (
+        roundtrip_raw("lcpcomp(coder=ascii)", b"abcdeabcde")
+        == b"11:5:5:6:05:5:16:abcde\x00\x00"
+    )
+
+
+# ---------------------------------------------------------------------------
+# repair(coder=bit) — RePairCompressor.hpp:212-263: rule count in len_r
+# (TypeRange<len_t>, 32 binary bits with LEN_BITS=32), each rule symbol as
+# bit-flag (0=terminal + 8-bit literal, 1=nonterminal + index in
+# Range(i)), then the start sequence with indices in Range(#rules).
+
+
+def test_golden_repair_bit():
+    # "abab": digram "ab" (count 2, unambiguous) -> rule 0 = (97,98),
+    # start = [R0, R0]. Bits: 32x count=1 | 0+01100001 | 0+01100010 |
+    # 1,0 | 1,0 -> bytes 00 00 00 01 30 98 A8 then 6 bits in the last
+    # data byte (>5) so the EOF convention appends a count byte 0x06.
+    assert (
+        roundtrip_raw("repair(coder=bit)", b"abab")
+        == bytes.fromhex("000000013098a806")
+    )
+
+
+# ---------------------------------------------------------------------------
+# esp(slp_coder=plain) — esp/PlainSLPCoder.hpp:18-52: 6-bit rule bit
+# width, root id, then each rule's two symbols, all bit_width wide;
+# symbols < 256 are terminals (GRAMMAR_PD_ELLIDED_PREFIX, esp/SLP.hpp:10).
+
+
+def test_golden_esp_plain():
+    # "abc": one ESP round, one size-3 block -> rules 256=(97,98),
+    # 257=(256,99), root 257. max_val = 2+256-1 = 257 -> bit_width 9.
+    # Bits: 001001 | 100000001 | 001100001 001100010 | 100000000
+    # 001100011 = 51 bits; final byte has 3 bits -> low-3-bit EOF count 3.
+    assert (
+        roundtrip_raw("esp(slp_coder=plain)", b"abc")
+        == bytes.fromhex("26026131400c63")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sle / arithmetic — frozen regression vectors. The byte layouts follow
+# SLECoder.hpp:9-455 and ArithmeticCoder.hpp:16-266 structurally (sigma
+# header + ranked literals + escaped Huffman-style stream; codebook of
+# (literal, cumulative count) pairs + range-coded u64 blocks +
+# sentinel), but the exact streams are pinned against THIS implementation:
+# the arithmetic coder deliberately diverges from two reference stream
+# bugs (C[254]/C[255] skip and the u8 codebook wrap — see
+# coders/arithmetic.py), so reference-identical bytes are not a goal;
+# unintended drift still fails here.
+
+
+def test_golden_sle_frozen():
+    assert roundtrip_raw("encode(sle)", b"abcabcabc") == bytes.fromhex(
+        "06616263e3c4858380808080ff01e1c6898380808080ff01e2c28d838080"
+        "8080ff016d81"
+    )
+
+
+def test_golden_arithmetic_frozen():
+    assert roundtrip_raw("encode(arithmetic)", b"abcabcabc") == bytes.fromhex(
+        "0000000903610000000162000000026300000003313a6fc65b544448ffff"
+        "ffffffffffff00"
+    )

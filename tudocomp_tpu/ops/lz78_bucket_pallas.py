@@ -65,12 +65,14 @@ def _lz78_bucket_kernel(H, text_ref, nv_ref, par_ref, chr_ref, nf_ref,
         sm_ref[slot] = vec11[0, 0]
         return sm_ref[slot]
 
-    def probe(key_vec, fid, live):
-        """Walk the bucket chain; returns (mid_vec [1,1], found scalar).
-        Inserts (key, fid) at the first free slot when live and missing."""
-        h_vec = (key_vec.astype(jnp.uint32) * jnp.uint32(2654435761)
-                 ) >> jnp.uint32(13)
-        h0 = to_scalar(0, (h_vec & jnp.uint32(H - 1)).astype(jnp.int32))
+    def probe(key_s, fid, live):
+        """Walk the bucket chain for scalar key `key_s`; returns matched
+        id (0 = miss) as a scalar. Inserts (key, fid) at the chain's
+        first free slot when live and missing."""
+        ku = key_s.astype(jnp.uint32)
+        h0 = ((ku * jnp.uint32(2654435761)) >> jnp.uint32(13)).astype(
+            jnp.int32
+        ) & (H - 1)
 
         def cond(st):
             _h, done, _mid = st
@@ -79,7 +81,7 @@ def _lz78_bucket_kernel(H, text_ref, nv_ref, par_ref, chr_ref, nf_ref,
         def body(st):
             h, _done, _mid = st
             krow = keys_ref[h]  # [8, 128]
-            hit = krow == key_vec  # broadcast [1,1] vs [8,128]
+            hit = krow == key_s  # scalar broadcast
             mid2 = jnp.sum(
                 jnp.where(hit, ids_ref[h], 0), axis=(0, 1), keepdims=True
             )[:, :1]
@@ -92,62 +94,61 @@ def _lz78_bucket_kernel(H, text_ref, nv_ref, par_ref, chr_ref, nf_ref,
             full = fill_s >= _BSLOTS
             ins = live & (~found) & (~full)
             sel = ins & (iota2 == fill_s)
-            keys_ref[h] = jnp.where(sel, key_vec, krow)
+            keys_ref[h] = jnp.where(sel, key_s, krow)
             ids_ref[h] = jnp.where(sel, fid, ids_ref[h])
             done = (found | (~full)).astype(jnp.int32)
-            return (h + 1) & (H - 1), done, mid2
+            return (h + 1) & (H - 1), done, mid_s
 
-        _h, _done, mid2 = jax.lax.while_loop(
-            cond, body, (h0, jnp.int32(0), jnp.zeros((1, 1), jnp.int32))
+        _h, _done, mid_s = jax.lax.while_loop(
+            cond, body, (h0, jnp.int32(0), jnp.int32(0))
         )
-        return mid2, to_scalar(1, mid2) > 0
+        return mid_s
 
     def step(i, carry):
-        node_vec, nf = carry  # [1,1] vector, scalar
-        c_vec = text_ref[0, pl.ds(i, 1), :]  # [1, 1]
-        key_vec = node_vec * 256 + c_vec
+        node_s, nf = carry  # both scalars
+        c_s = to_scalar(4, text_ref[0, pl.ds(i, 1), :])
+        key_s = node_s * 256 + c_s
         live = i < nv
-        mid_vec, found_raw = probe(key_vec, nf + 1, live)
-        found = live & found_raw
-        miss = live & (~found_raw)
+        mid_s = probe(key_s, nf + 1, live)
+        found = live & (mid_s > 0)
+        miss = live & (mid_s == 0)
 
         @pl.when(miss)
         def _():
-            par_ref[0, pl.ds(nf, 1), :] = node_vec
-            chr_ref[0, pl.ds(nf, 1), :] = c_vec
+            par_ref[0, pl.ds(nf, 1), :] = jnp.full((1, 1), node_s, jnp.int32)
+            chr_ref[0, pl.ds(nf, 1), :] = jnp.full((1, 1), c_s, jnp.int32)
 
         # dead steps (i >= nv, zero padding) must not touch the pending
         # node — the trailing-factor emission reads it after the loop
-        node_vec = jnp.where(
-            found,
-            mid_vec,
-            jnp.where(miss, jnp.zeros((1, 1), jnp.int32), node_vec),
-        )
+        node_s = jnp.where(found, mid_s, jnp.where(miss, 0, node_s))
         nf = nf + miss.astype(jnp.int32)
-        return node_vec, nf
+        return node_s, nf
 
-    node_vec, nf = jax.lax.fori_loop(
-        0, bs, step, (jnp.zeros((1, 1), jnp.int32), jnp.int32(0))
+    node_s, nf = jax.lax.fori_loop(
+        0, bs, step, (jnp.int32(0), jnp.int32(0))
     )
 
     # trailing partial factor (LZ78Compressor.hpp:124-131): node > 0 means
     # the input ended mid-phrase; emit (parent(node), char(node)). Recover
     # the creating key by scanning ids for node — one table pass per block.
-    pend = to_scalar(3, node_vec) > 0
+    pend = node_s > 0
 
     @pl.when(pend)
     def _():
         def find_body(h, acc):
-            hit = ids_ref[h] == node_vec
-            return acc + jnp.sum(
+            hit = ids_ref[h] == node_s
+            k2 = jnp.sum(
                 jnp.where(hit, keys_ref[h], 0), axis=(0, 1), keepdims=True
             )[:, :1]
+            return acc + to_scalar(5, k2)
 
-        key2 = jax.lax.fori_loop(
-            0, H, find_body, jnp.zeros((1, 1), jnp.int32)
+        key2 = jax.lax.fori_loop(0, H, find_body, jnp.int32(0))
+        par_ref[0, pl.ds(nf, 1), :] = jnp.full(
+            (1, 1), key2 // 256, jnp.int32
         )
-        par_ref[0, pl.ds(nf, 1), :] = key2 // 256
-        chr_ref[0, pl.ds(nf, 1), :] = key2 % 256
+        chr_ref[0, pl.ds(nf, 1), :] = jnp.full(
+            (1, 1), key2 % 256, jnp.int32
+        )
 
     nf_ref[b, 0] = nf + pend.astype(jnp.int32)
 
