@@ -179,3 +179,50 @@ def test_device_sa_flag(monkeypatch):
     monkeypatch.setenv("TDC_DEVICE_SA", "1")
     dev = TextDS(text).require_sa()
     assert (base == dev).all()
+
+
+def test_compress_mode_packing():
+    """CompressMode axis (ds/CompressMode.hpp, TextDS.hpp:247-292): the
+    resident DS arrays are bit-packed to bits_for(n) in compressed/delayed
+    modes, getters hand back full-width equivalents, and the compressed
+    output stays byte-identical across every mode."""
+    import numpy as np
+
+    from tudocomp_tpu.driver import compress, decompress
+    from tudocomp_tpu.ds.int_vector import IntVector
+    from tudocomp_tpu.ds.textds import TextDS
+
+    rng = np.random.default_rng(5)
+    text = np.concatenate(
+        [rng.integers(97, 105, 3000).astype(np.uint8), [0]]
+    ).astype(np.uint8)
+
+    base = TextDS(text)
+    plain_sa = base.require_sa()
+    plain_lcp = base.require_lcp()
+
+    ds = TextDS(text, compress_mode="compressed")
+    sa = ds.require_sa()
+    assert (sa == plain_sa).all()
+    assert isinstance(ds._sa, IntVector)  # resident form is packed
+    assert ds._sa.width == 12  # bits_for(3001)
+    assert (ds.require_lcp() == plain_lcp).all()
+    assert isinstance(ds._lcp, IntVector)
+
+    from tudocomp_tpu.ds import flags
+
+    ds2 = TextDS(text, compress_mode="delayed")
+    ds2.require(flags.SA | flags.ISA | flags.LCP)
+    for nm in ("_sa", "_isa", "_lcp"):
+        assert isinstance(getattr(ds2, nm), IntVector), nm
+    assert (ds2.sa() == plain_sa).all()
+
+    # end-to-end byte parity across the DSL axis (raw: the container
+    # header embeds the id string, so only payloads are comparable)
+    data = b"the quick brown fox jumps over the lazy dog " * 40
+    ref = compress("lzss_lcp(coder=huff)", data, raw=True)
+    for cm in ("delayed", "compressed", "coherent_delayed"):
+        algo = f"lzss_lcp(coder=huff, textds=textds(cm={cm}))"
+        c = compress(algo, data, raw=True)
+        assert c == ref
+        assert decompress(c, id_string=algo, raw=True) == data

@@ -38,6 +38,7 @@ class TextDS:
         lcp_provider: str = "from_phi",
         isa_provider: str = "from_sa",
         sparse_isa_t: int = 3,
+        compress_mode: str = "plain",
     ):
         self.text = np.ascontiguousarray(text, dtype=np.uint8)
         # provider selection (the `textds` DSL axis, ds/textds_algo.py):
@@ -46,6 +47,17 @@ class TextDS:
         self.lcp_provider = lcp_provider
         self.isa_provider = isa_provider
         self.sparse_isa_t = sparse_isa_t
+        # CompressMode (ds/CompressMode.hpp + TextDS.hpp:247-292):
+        # "plain" retains full-width numpy arrays; "compressed" bit-packs
+        # each DS to bits_for(n) right after construction; "delayed" /
+        # "coherent_delayed" pack everything at the end of a bulk
+        # require(). Packed arrays are the RESIDENT form — getters hand
+        # out transient full-width copies so the native/numpy consumers
+        # keep their contiguous-int32 fast paths.
+        assert compress_mode in (
+            "plain", "delayed", "compressed", "coherent_delayed",
+        ), compress_mode
+        self.compress_mode = compress_mode
         self._sa: Optional[np.ndarray] = None
         self._isa: Optional[np.ndarray] = None
         self._phi: Optional[np.ndarray] = None
@@ -67,6 +79,41 @@ class TextDS:
             self.require_lcp()
         if what & flags.ISA:
             self.require_isa()
+        if self.compress_mode in ("delayed", "coherent_delayed"):
+            self.bit_compress()
+
+    # -- CompressMode plumbing ------------------------------------------------
+
+    def _maybe_pack(self, arr):
+        """In "compressed" mode, return the bit-packed resident form."""
+        if self.compress_mode != "compressed" or arr is None:
+            return arr
+        return self._pack_one(arr)
+
+    def _pack_one(self, arr):
+        from .int_vector import IntVector, bits_for
+
+        if not isinstance(arr, np.ndarray) or len(arr) == 0:
+            return arr
+        return IntVector(
+            arr.astype(np.int64), width=bits_for(max(1, len(self.text)))
+        )
+
+    @staticmethod
+    def _unpack(arr):
+        from .int_vector import IntVector
+
+        if isinstance(arr, IntVector):
+            return arr.to_array().astype(np.int32)
+        return arr
+
+    def bit_compress(self) -> None:
+        """Bit-pack every constructed DS to bits_for(n) width — the
+        delayed CompressMode sweep (TextDS.hpp:285-291)."""
+        for name in ("_sa", "_isa", "_phi", "_plcp", "_lcp"):
+            cur = getattr(self, name)
+            if isinstance(cur, np.ndarray):
+                setattr(self, name, self._pack_one(cur))
 
     # -- providers ------------------------------------------------------------
 
@@ -119,7 +166,8 @@ class TextDS:
                 from ..paranoid import check_permutation
 
                 check_permutation(self._sa, n, "SA")
-        return self._sa
+                self._sa = self._maybe_pack(self._sa)
+        return self._unpack(self._sa)
 
     def require_isa(self) -> np.ndarray:
         if self._isa is None:
@@ -137,13 +185,14 @@ class TextDS:
                     ph.log("provider", "device_sa_ranks")
                 else:
                     self._isa = inverse_permutation(self.require_sa())
-        return self._isa
+                self._isa = self._maybe_pack(self._isa)
+        return self._unpack(self._isa)
 
     def require_phi(self) -> np.ndarray:
         if self._phi is None:
             with StatPhase("Construct Phi Array"):
-                self._phi = phi_from_sa(self.require_sa())
-        return self._phi
+                self._phi = self._maybe_pack(phi_from_sa(self.require_sa()))
+        return self._unpack(self._phi)
 
     def require_plcp(self) -> np.ndarray:
         if self._plcp is None:
@@ -157,7 +206,8 @@ class TextDS:
                     self._plcp = plcp
                 else:
                     self._plcp = plcp_from_phi_numpy(self.text, phi)
-        return self._plcp
+                self._plcp = self._maybe_pack(self._plcp)
+        return self._unpack(self._plcp)
 
     def require_lcp(self) -> np.ndarray:
         if self._lcp is None:
@@ -175,29 +225,30 @@ class TextDS:
                     self._lcp = lcp_from_plcp(
                         self.require_plcp(), self.require_sa()
                     )
-        return self._lcp
+                self._lcp = self._maybe_pack(self._lcp)
+        return self._unpack(self._lcp)
 
     # accessors mirroring TextDS::sa()/isa()/... ------------------------------
 
     def sa(self) -> np.ndarray:
         assert self._sa is not None
-        return self._sa
+        return self._unpack(self._sa)
 
     def isa(self) -> np.ndarray:
         assert self._isa is not None
-        return self._isa
+        return self._unpack(self._isa)
 
     def phi(self) -> np.ndarray:
         assert self._phi is not None
-        return self._phi
+        return self._unpack(self._phi)
 
     def plcp(self) -> np.ndarray:
         assert self._plcp is not None
-        return self._plcp
+        return self._unpack(self._plcp)
 
     def lcp(self) -> np.ndarray:
         assert self._lcp is not None
-        return self._lcp
+        return self._unpack(self._lcp)
 
 
 def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:

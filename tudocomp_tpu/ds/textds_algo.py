@@ -103,6 +103,10 @@ class TextDSAlgo(Algorithm):
         m.option("plcp").templated("plcp", "from_phi")
         m.option("lcp").templated("lcp", "from_phi")
         m.option("isa").templated("isa", "from_sa")
+        # CompressMode (ds/CompressMode.hpp): plain | delayed | compressed
+        # | coherent_delayed — resident DS arrays bit-packed to bits_for(n)
+        # per the selected schedule (TextDS.hpp:247-292)
+        m.option("cm").dynamic("plain")
         return m
 
     def create(self, text):
@@ -118,6 +122,7 @@ class TextDSAlgo(Algorithm):
             lcp_provider=lcp_av.name,
             isa_provider=isa_av.name,
             sparse_isa_t=sparse_t,
+            compress_mode=self.env.option("cm").as_string(),
         )
 
 

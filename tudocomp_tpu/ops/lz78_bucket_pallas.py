@@ -17,15 +17,20 @@ and the 8x128 vector unit probes a whole hash BUCKET per input byte:
   insert         at slot `fill` of the bucket via a predicated write;
                  full buckets chain to (h+1) & (H-1) — lookups stop at the
                  first non-full bucket (inserts fill chains in order)
-  emit           factor (parent, char) stored at row nf of [cap, 1] outs
+  text/output    live in [rows, 128] tiles (a [*, 1] layout would pad the
+                 lane dim 128x and blow VMEM); bytes stream through a
+                 [1,128] window rolled one lane per step and reloaded
+                 every 128 steps, factors accumulate in [1,128] windows
+                 written back one full row at a time (keyed lane writes —
+                 iota == nf % 128 — sidestep dynamic lane addressing)
 
 Scalars cross the vector/SMEM boundary via the store-extract-reload idiom
-(the one Mosaic supports — see PERF.md Mosaic notes). Per-byte work is a
-handful of vector ops regardless of bs, so block sizes up to 512 KiB
-(VMEM: 2 x 4 MiB dictionary + text + outputs) run at host-competitive
-speed with near-whole-text ratios. Outputs are bit-identical to the host
-parse (native tdc_lz78_parse semantics, LZ78Compressor.hpp:42-159,
-trailing partial factor included).
+(the one Mosaic supports — see the Mosaic notes in PERF.md). Per-byte work
+is a handful of vector ops regardless of bs, so block sizes up to 256 KiB
+(VMEM: dictionary + tiles ~8 MiB) run at host-competitive speed with
+near-whole-text ratios. Outputs are bit-identical to the host parse
+(native tdc_lz78_parse semantics, LZ78Compressor.hpp:42-159, trailing
+partial factor included).
 """
 
 from __future__ import annotations
@@ -39,16 +44,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_BS = 1 << 19  # 512 KiB blocks
+MAX_BS = 1 << 18  # 256 KiB blocks
 _SUB, _LN = 8, 128
 _BSLOTS = _SUB * _LN  # 1024 slots per bucket
 
 
-def _lz78_bucket_kernel(H, text_ref, nv_ref, par_ref, chr_ref, nf_ref,
-                        keys_ref, ids_ref, sm_ref):
-    bs = text_ref.shape[1]
+def _lz78_bucket_kernel(H, rows, orow, text_ref, nv_ref, par_ref, chr_ref,
+                        nf_ref, keys_ref, ids_ref, sm_ref):
     b = pl.program_id(0)
     nv = nv_ref[b, 0]
+    bs = rows * _LN
 
     keys_ref[...] = jnp.full(keys_ref.shape, -1, jnp.int32)
     # ids must be cleared too: the trailing-factor recovery scans ids for
@@ -59,6 +64,7 @@ def _lz78_bucket_kernel(H, text_ref, nv_ref, par_ref, chr_ref, nf_ref,
         jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LN), 0) * _LN
         + jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LN), 1)
     )
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LN), 1)
 
     def to_scalar(slot, vec11):
         # store-extract-reload: the Mosaic-legal vector->scalar path
@@ -104,53 +110,66 @@ def _lz78_bucket_kernel(H, text_ref, nv_ref, par_ref, chr_ref, nf_ref,
         )
         return mid_s
 
+    def emit(do, p_s, c_s, nf, wpar, wchr):
+        """Append factor (p_s, c_s) at slot nf when `do`; flush full rows."""
+        slot = nf - (nf // _LN) * _LN
+        sel = do & (lane1 == slot)
+        wpar = jnp.where(sel, p_s, wpar)
+        wchr = jnp.where(sel, c_s, wchr)
+
+        @pl.when(do & (slot == _LN - 1))
+        def _():
+            r = nf // _LN
+            par_ref[0, pl.ds(r, 1), :] = wpar
+            chr_ref[0, pl.ds(r, 1), :] = wchr
+
+        return nf + do.astype(jnp.int32), wpar, wchr
+
     def step(i, carry):
-        node_s, nf = carry  # both scalars
-        c_s = to_scalar(4, text_ref[0, pl.ds(i, 1), :])
+        node_s, nf, wtext, wpar, wchr = carry
+        row = i // _LN
+        at_row = i - row * _LN == 0
+        wtext = jnp.where(at_row, text_ref[0, pl.ds(row, 1), :], wtext)
+        c_s = to_scalar(4, wtext[:, :1])
+        wtext = jnp.roll(wtext, -1, axis=1)
         key_s = node_s * 256 + c_s
         live = i < nv
         mid_s = probe(key_s, nf + 1, live)
         found = live & (mid_s > 0)
         miss = live & (mid_s == 0)
-
-        @pl.when(miss)
-        def _():
-            par_ref[0, pl.ds(nf, 1), :] = jnp.full((1, 1), node_s, jnp.int32)
-            chr_ref[0, pl.ds(nf, 1), :] = jnp.full((1, 1), c_s, jnp.int32)
-
+        nf, wpar, wchr = emit(miss, node_s, c_s, nf, wpar, wchr)
         # dead steps (i >= nv, zero padding) must not touch the pending
         # node — the trailing-factor emission reads it after the loop
         node_s = jnp.where(found, mid_s, jnp.where(miss, 0, node_s))
-        nf = nf + miss.astype(jnp.int32)
-        return node_s, nf
+        return node_s, nf, wtext, wpar, wchr
 
-    node_s, nf = jax.lax.fori_loop(
-        0, bs, step, (jnp.int32(0), jnp.int32(0))
+    zrow = jnp.zeros((1, _LN), jnp.int32)
+    node_s, nf, _wt, wpar, wchr = jax.lax.fori_loop(
+        0, bs, step, (jnp.int32(0), jnp.int32(0), zrow, zrow, zrow)
     )
 
     # trailing partial factor (LZ78Compressor.hpp:124-131): node > 0 means
     # the input ended mid-phrase; emit (parent(node), char(node)). Recover
     # the creating key by scanning ids for node — one table pass per block.
-    pend = node_s > 0
+    def find_body(h, acc):
+        hit = ids_ref[h] == node_s
+        k2 = jnp.sum(
+            jnp.where(hit, keys_ref[h], 0), axis=(0, 1), keepdims=True
+        )[:, :1]
+        return acc + to_scalar(5, k2)
 
-    @pl.when(pend)
+    key2 = jax.lax.fori_loop(0, H, find_body, jnp.int32(0))
+    nf, wpar, wchr = emit(node_s > 0, key2 // 256, key2 % 256, nf, wpar, wchr)
+
+    # final partial-row flush (lanes beyond nf % 128 are garbage; the host
+    # slices by nf)
+    @pl.when(nf - (nf // _LN) * _LN > 0)
     def _():
-        def find_body(h, acc):
-            hit = ids_ref[h] == node_s
-            k2 = jnp.sum(
-                jnp.where(hit, keys_ref[h], 0), axis=(0, 1), keepdims=True
-            )[:, :1]
-            return acc + to_scalar(5, k2)
+        r = nf // _LN
+        par_ref[0, pl.ds(r, 1), :] = wpar
+        chr_ref[0, pl.ds(r, 1), :] = wchr
 
-        key2 = jax.lax.fori_loop(0, H, find_body, jnp.int32(0))
-        par_ref[0, pl.ds(nf, 1), :] = jnp.full(
-            (1, 1), key2 // 256, jnp.int32
-        )
-        chr_ref[0, pl.ds(nf, 1), :] = jnp.full(
-            (1, 1), key2 % 256, jnp.int32
-        )
-
-    nf_ref[b, 0] = nf + pend.astype(jnp.int32)
+    nf_ref[b, 0] = nf
 
 
 def _table_rows(bs: int) -> int:
@@ -161,29 +180,31 @@ def _table_rows(bs: int) -> int:
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _parse_blocks(texts, n_valid, bs, interpret=False):
-    """[B, bs, 1] i32 texts, [B, 1] n_valid -> (par, chr [B, bs+1, 1],
-    nf [B, 1])."""
+    """[B, bs/128, 128] i32 texts, [B, 1] n_valid ->
+    (par, chr [B, orow, 128], nf [B, 1])."""
     B = texts.shape[0]
+    rows = texts.shape[1]
+    orow = rows + 1  # factors <= bs; one slack row for the trailing factor
     H = _table_rows(bs)
-    kern = partial(_lz78_bucket_kernel, H)
+    kern = partial(_lz78_bucket_kernel, H, rows, orow)
     par, chr_, nf = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, bs, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, rows, _LN), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bs + 1, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, orow, _LN), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs + 1, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, orow, _LN), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, bs + 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, bs + 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, orow, _LN), jnp.int32),
+            jax.ShapeDtypeStruct((B, orow, _LN), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         scratch_shapes=[
@@ -198,19 +219,22 @@ def _parse_blocks(texts, n_valid, bs, interpret=False):
 
 def lz78_parse_blocks_bucket(blocks, n_valid=None, interpret=None):
     """Parse B blocks on device: [B, bs] u8 -> list of (parents, chars),
-    bit-identical to the host parse of each block. bs <= 512 KiB."""
+    bit-identical to the host parse of each block. bs <= 256 KiB."""
     blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
-    B, bs = blocks.shape
-    assert bs <= MAX_BS, "bucket lz78 block size capped at 512 KiB"
+    B, bs0 = blocks.shape
+    assert bs0 <= MAX_BS, "bucket lz78 block size capped at 256 KiB"
     if n_valid is None:
-        n_valid = np.full(B, bs, np.int32)
+        n_valid = np.full(B, bs0, np.int32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    texts = jnp.asarray(blocks.astype(np.int32)[:, :, None])
+    bs = -(-bs0 // _LN) * _LN  # pad to a lane multiple
+    texts = np.zeros((B, bs), np.int32)
+    texts[:, :bs0] = blocks
+    texts = texts.reshape(B, bs // _LN, _LN)
     nv = jnp.asarray(np.asarray(n_valid, np.int32)[:, None])
-    par, chr_, nf = _parse_blocks(texts, nv, bs, interpret)
-    par = np.asarray(par)[:, :, 0]
-    chr_ = np.asarray(chr_)[:, :, 0]
+    par, chr_, nf = _parse_blocks(jnp.asarray(texts), nv, bs, interpret)
+    par = np.asarray(par).reshape(B, -1)
+    chr_ = np.asarray(chr_).reshape(B, -1)
     nf = np.asarray(nf)[:, 0]
     out = []
     for b in range(B):
