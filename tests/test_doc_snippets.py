@@ -39,7 +39,11 @@ def test_dsl_examples_parse():
     from tudocomp_tpu.registry import REGISTRY
 
     # the fenced plain block in section 2 lists example ids, one per line
-    dsl_block = _blocks("")[1] if len(_blocks("")) > 1 else ""
+    dsl_block = ""
+    for blk in _blocks(""):
+        if blk.strip().startswith("encode(huff)"):
+            dsl_block = blk
+            break
     examples = [
         ln.strip()
         for ln in dsl_block.splitlines()

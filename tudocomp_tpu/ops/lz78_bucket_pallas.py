@@ -71,44 +71,66 @@ def _lz78_bucket_kernel(H, rows, orow, text_ref, nv_ref, par_ref, chr_ref,
         sm_ref[slot] = vec11[0, 0]
         return sm_ref[slot]
 
+    def bucket_scan(h, key_s):
+        """ONE reduction gives both the matched id and the bucket fill:
+        combo = mid | fill << 21 (ids < 2^18+1 slack, fill <= 1024). One
+        SMEM round trip per probe instead of two."""
+        krow = keys_ref[h]  # [8, 128]
+        hit = krow == key_s  # scalar broadcast
+        v = jnp.where(hit, ids_ref[h], 0) + (
+            (krow != -1).astype(jnp.int32) << 21
+        )
+        combo2 = jnp.sum(v, axis=(0, 1), keepdims=True)[:, :1]
+        combo = to_scalar(1, combo2)
+        return combo & ((1 << 21) - 1), combo >> 21
+
+    def insert_at(h, fill_s, key_s, fid):
+        sel = iota2 == fill_s
+        keys_ref[h] = jnp.where(sel, key_s, keys_ref[h])
+        ids_ref[h] = jnp.where(sel, fid, ids_ref[h])
+
     def probe(key_s, fid, live):
         """Walk the bucket chain for scalar key `key_s`; returns matched
         id (0 = miss) as a scalar. Inserts (key, fid) at the chain's
-        first free slot when live and missing."""
+        first free slot when live and missing. The first bucket probe is
+        inlined (load factor <= 0.5 makes chains rare); the chain walk
+        and the insert sit behind real branches so hit-only bytes pay a
+        single read + reduce."""
         ku = key_s.astype(jnp.uint32)
         h0 = ((ku * jnp.uint32(2654435761)) >> jnp.uint32(13)).astype(
             jnp.int32
         ) & (H - 1)
+        mid_s, fill_s = bucket_scan(h0, key_s)
+        sm_ref[6] = mid_s
 
-        def cond(st):
-            _h, done, _mid = st
-            return done == 0
+        @pl.when((mid_s == 0) & (fill_s >= _BSLOTS))
+        def _():  # rare: first bucket full and no hit — walk the chain
+            def cond(st):
+                _h, done = st
+                return done == 0
 
-        def body(st):
-            h, _done, _mid = st
-            krow = keys_ref[h]  # [8, 128]
-            hit = krow == key_s  # scalar broadcast
-            mid2 = jnp.sum(
-                jnp.where(hit, ids_ref[h], 0), axis=(0, 1), keepdims=True
-            )[:, :1]
-            fill2 = jnp.sum(
-                (krow != -1).astype(jnp.int32), axis=(0, 1), keepdims=True
-            )[:, :1]
-            mid_s = to_scalar(1, mid2)
-            fill_s = to_scalar(2, fill2)
-            found = mid_s > 0
-            full = fill_s >= _BSLOTS
-            ins = live & (~found) & (~full)
-            sel = ins & (iota2 == fill_s)
-            keys_ref[h] = jnp.where(sel, key_s, krow)
-            ids_ref[h] = jnp.where(sel, fid, ids_ref[h])
-            done = (found | (~full)).astype(jnp.int32)
-            return (h + 1) & (H - 1), done, mid_s
+            def body(st):
+                h, _done = st
+                m_s, f_s = bucket_scan(h, key_s)
+                full = f_s >= _BSLOTS
 
-        _h, _done, mid_s = jax.lax.while_loop(
-            cond, body, (h0, jnp.int32(0), jnp.int32(0))
-        )
-        return mid_s
+                @pl.when(live & (m_s == 0) & (~full))
+                def _():
+                    insert_at(h, f_s, key_s, fid)
+
+                sm_ref[6] = m_s
+                done = ((m_s > 0) | (~full)).astype(jnp.int32)
+                return (h + 1) & (H - 1), done
+
+            jax.lax.while_loop(
+                cond, body, ((h0 + 1) & (H - 1), jnp.int32(0))
+            )
+
+        @pl.when(live & (mid_s == 0) & (fill_s < _BSLOTS))
+        def _():  # common miss: insert into the first bucket
+            insert_at(h0, fill_s, key_s, fid)
+
+        return sm_ref[6]
 
     def emit(do, p_s, c_s, nf, wpar, wchr):
         """Append factor (p_s, c_s) at slot nf when `do`; flush full rows."""
