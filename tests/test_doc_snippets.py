@@ -39,11 +39,8 @@ def test_dsl_examples_parse():
     from tudocomp_tpu.registry import REGISTRY
 
     # the fenced plain block in section 2 lists example ids, one per line
-    dsl_block = ""
-    for blk in _blocks(""):
-        if blk.strip().startswith("encode(huff)"):
-            dsl_block = blk
-            break
+    m = re.search(r"```\nencode\(huff\)\n(.*?)```", TEXT, re.S)
+    dsl_block = "encode(huff)\n" + (m.group(1) if m else "")
     examples = [
         ln.strip()
         for ln in dsl_block.splitlines()
