@@ -79,3 +79,33 @@ def test_blockwise_lzw_device_roundtrip():
         del os.environ["TDC_DEVICE_LZ78"]
     assert c == compress("blockwise(lzw(coder=bit), bs=1024)", data)
     assert decompress(c) == data
+
+
+def test_bucket_kernel_parity_interpret():
+    """The bucketed-dictionary kernel (ops/lz78_bucket_pallas.py) must be
+    bit-identical to the host parse for blocks beyond the 8 KiB lockstep
+    cap, including padding, all-runs and trailing-factor cases."""
+    import numpy as np
+
+    from tudocomp_tpu.compressors.lz78 import lz78_parse
+    from tudocomp_tpu.ops.lz78_bucket_pallas import lz78_parse_blocks_bucket
+
+    rng = np.random.default_rng(17)
+    cases = [
+        rng.integers(0, 256, 10000).astype(np.uint8),
+        rng.integers(0, 4, 12000).astype(np.uint8),
+        np.zeros(9000, np.uint8),
+        np.frombuffer(b"the quick brown fox " * 600, np.uint8),
+    ]
+    bs = max(len(c) for c in cases)
+    blocks = np.zeros((len(cases), bs), np.uint8)
+    nv = np.zeros(len(cases), np.int32)
+    for i, c in enumerate(cases):
+        blocks[i, : len(c)] = c
+        nv[i] = len(c)
+    got = lz78_parse_blocks_bucket(blocks, nv, interpret=True)
+    for i, c in enumerate(cases):
+        wp, wc = lz78_parse(c, "ternary", None)
+        gp, gc = got[i]
+        assert len(gp) == len(wp)
+        assert (gp == wp).all() and (gc == wc).all(), i
