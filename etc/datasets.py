@@ -123,11 +123,33 @@ def download(dest: str, size_mb: float, only: str = "") -> int:
     return got
 
 
+def synth_large(fn, rng, n: int, out_path: str, base_mb: int = 4) -> None:
+    """GB-scale synthesis (the analogue of the reference's 10 GB wiki
+    config, etc/large_datasets_config.py): a base chunk from the per-kind
+    generator is tiled with per-tile random mutations and streamed to
+    disk, so multi-GB files materialize in seconds instead of the
+    word-at-a-time loop."""
+    base = np.frombuffer(fn(rng, base_mb << 20), np.uint8).copy()
+    written = 0
+    with open(out_path, "wb") as f:
+        while written < n:
+            chunk = base.copy()
+            idx = rng.integers(0, len(chunk), max(1, len(chunk) // 500))
+            chunk[idx] = rng.integers(32, 127, len(idx)).astype(np.uint8)
+            take = min(len(chunk), n - written)
+            f.write(chunk[:take].tobytes())
+            written += take
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--synthesize", metavar="DIR")
     ap.add_argument("--download", metavar="DIR")
     ap.add_argument("--size", type=float, default=1.0, help="MiB per corpus")
+    ap.add_argument(
+        "--gb", type=float, default=0.0,
+        help="GiB per corpus (streams tiled+mutated chunks; use for >=1 GiB)",
+    )
     ap.add_argument("--only", default="")
     args = ap.parse_args()
     if not args.synthesize and not args.download:
@@ -137,8 +159,17 @@ def main():
     if not args.synthesize:
         return
     os.makedirs(args.synthesize, exist_ok=True)
-    n = int(args.size * (1 << 20))
     rng = np.random.default_rng(0)
+    if args.gb:
+        n = int(args.gb * (1 << 30))
+        for name, fn in SYNTHS.items():
+            if args.only and args.only != name:
+                continue
+            path = os.path.join(args.synthesize, f"{name}.{args.gb:g}GB")
+            synth_large(fn, rng, n, path)
+            print(path)
+        return
+    n = int(args.size * (1 << 20))
     for name, fn in SYNTHS.items():
         if args.only and args.only != name:
             continue

@@ -12,15 +12,21 @@ Per-stage env overrides (1 = force device, 0 = force host):
 
 Default-on device stages (TPU backend, size gates apply): Huffman block
 encode (0.29-0.43 GB/s on v5e, 2.3-3.4x the per-chip target), MTF/RLE
-transforms, blockwise LZ78 lockstep parse.
+transforms, blockwise LZ78 lockstep parse (bs <= 8 KiB), and — on a
+LOCALLY attached TPU — the staged device SA (6x native SA-IS at 16 MiB,
+etc/probe_sa2.py; behind the remote tunnel the host<->device transfers
+eat the win, so it is opt-in there: see tunnel_backend()).
 
 OPT-IN stages (=1 required) — measured slower than the tuned host paths
-on v5e (etc/probe_crossover.py, PERF.md; host-fetch syncs):
-  TDC_DEVICE_SA    prefix-doubling SA: 1.3-2x slower than native SA-IS
-                   at 1-16 MiB
-  TDC_DEVICE_LZSS  orbit-doubling factorize: ~160x slower at 1 MiB
-  TDC_DEVICE_HUFF  legacy jump-table decode path selector (the
-                   bit-serial lockstep decoder is benchmarked separately)
+on v5e through the tunnel (etc/probe_sa2.py, etc/probe_fact2.py, PERF.md;
+host-fetch syncs):
+  TDC_DEVICE_SA    behind the tunnel only (local TPUs default on)
+  TDC_DEVICE_LZSS  compacted-chain ANSV factorize: exact but gather-
+                   bound, ~10x the host monotone stacks
+  TDC_DEVICE_HUFF  bit-serial decode: 3x host data-resident, transfer-
+                   bound via the tunnel (local TPUs default on)
+  TDC_DEVICE_LZ78  =1 additionally enables the bucketed-dictionary
+                   kernel for 8 KiB < bs <= 256 KiB blocks
   TDC_DEVICE_LCPCOMP  decode side (gather-bound chain resolve)
 """
 
