@@ -139,6 +139,58 @@ def measure(result: dict) -> None:
             }
         )
 
+    # round-5 headline kernel: the staged device suffix array vs the
+    # tuned native SA-IS (data-resident, exact-match asserted)
+    try:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "etc"))
+        from datasets import synth_english
+
+        from tudocomp_tpu import native as _native
+        from tudocomp_tpu.ds.suffix_array import suffix_array_device
+
+        _n = 16 << 20
+        _arr = np.frombuffer(
+            synth_english(np.random.default_rng(7), _n), np.uint8
+        ).copy()
+        _arr[-1] = 0
+        _d = jnp.asarray(_arr)
+        _f = jax.jit(suffix_array_device)
+        _r = _f(_d)
+        _ = np.asarray(_r[:4])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _r = _f(_d)
+        _sa_dev = np.asarray(_r)
+        t_dev = (time.perf_counter() - t0) / 3
+        _lib = _native.get_lib()
+        _sa_host = np.zeros(_n, np.int32)
+        t0 = time.perf_counter()
+        _lib.tdc_sais(_arr, _n, _sa_host)
+        t_host = time.perf_counter() - t0
+        assert (_sa_dev == _sa_host).all()
+        result.setdefault("extra", []).append(
+            {
+                "metric": "device_sa_16MiB_throughput",
+                "value": round(_n / t_dev / 1e9, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(t_host / t_dev, 2),
+                "note": "vs_baseline = speedup over tuned native SA-IS; exact match asserted",
+            }
+        )
+    except Exception as e:
+        result.setdefault("extra", []).append(
+            {
+                "metric": "device_sa_error",
+                "value": 0,
+                "unit": "error",
+                "vs_baseline": 0,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }
+        )
+
     # secondary BASELINE.json configs: end-to-end container bytes through
     # the public driver (host+device mix), wall-clock per config
     if os.environ.get("TDC_BENCH_CONFIGS", "1") != "0":
