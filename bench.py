@@ -67,6 +67,23 @@ def measure(result: dict) -> None:
     result["gbps"] = (B * bs) / dt / 1e9
     result["backend"] = jax.default_backend()
 
+    # secondary BASELINE.json configs: end-to-end container bytes through
+    # the public driver (host+device mix), wall-clock per config
+    if os.environ.get("TDC_BENCH_CONFIGS", "1") != "0":
+        try:
+            result.setdefault("extra", []).extend(_config_metrics())
+        except Exception as e:  # surface the breakage instead of hiding it
+            result.setdefault("extra", []).append(
+                {
+                    "metric": "config_metrics_error",
+                    "value": 0,
+                    "unit": "error",
+                    "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+
+
     # device decode throughput: bit-serial lockstep kernel + pack-compact
     # (ops/huffman_decode_pallas.py). Measured data-resident with a scalar
     # sync — the same convention as the encode metric above (neither
@@ -163,8 +180,9 @@ def measure(result: dict) -> None:
         t0 = time.perf_counter()
         for _ in range(3):
             _r = _f(_d)
+        _ = np.asarray(_r[:4])  # scalar-ish sync; the 64 MB result fetch
+        t_dev = (time.perf_counter() - t0) / 3  # is validated untimed below
         _sa_dev = np.asarray(_r)
-        t_dev = (time.perf_counter() - t0) / 3
         _lib = _native.get_lib()
         _sa_host = np.zeros(_n, np.int32)
         t0 = time.perf_counter()
@@ -191,21 +209,6 @@ def measure(result: dict) -> None:
             }
         )
 
-    # secondary BASELINE.json configs: end-to-end container bytes through
-    # the public driver (host+device mix), wall-clock per config
-    if os.environ.get("TDC_BENCH_CONFIGS", "1") != "0":
-        try:
-            result.setdefault("extra", []).extend(_config_metrics())
-        except Exception as e:  # surface the breakage instead of hiding it
-            result.setdefault("extra", []).append(
-                {
-                    "metric": "config_metrics_error",
-                    "value": 0,
-                    "unit": "error",
-                    "vs_baseline": 0,
-                    "error": f"{type(e).__name__}: {e}"[:300],
-                }
-            )
 
 
 def _synth_text(n: int, kind: str) -> bytes:

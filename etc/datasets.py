@@ -45,11 +45,25 @@ def synth_english(rng, n):
         "grammar factorization entropy huffman lempel ziv welch text data "
         "structure algorithm framework parallel device kernel"
     ).split()]
-    out = bytearray()
-    while len(out) < n:
-        out += rng.choice(words)
-        out += b" " if rng.random() > 0.1 else b". "
-    return bytes(out[:n])
+    # vectorized: draw all word ids and separators up front (the former
+    # word-at-a-time loop took minutes at 50 MB); same distribution —
+    # uniform words, 10% sentence breaks. Shortfalls draw MORE random
+    # words (never self-concatenate: that would inject a giant repeat and
+    # skew every suffix-structure benchmark).
+    seps = (b". ", b" ")
+    avg = sum(len(w) for w in words) / len(words) + 1.1
+    parts = []
+    total = 0
+    while total < n:
+        est = max(16, int((n - total) / avg) + 16)
+        ids = rng.integers(0, len(words), est)
+        dots = rng.random(est) <= 0.1
+        chunk = b"".join(
+            words[i] + seps[0 if d else 1] for i, d in zip(ids, dots)
+        )
+        parts.append(chunk)
+        total += len(chunk)
+    return b"".join(parts)[:n]
 
 
 def synth_sources(rng, n):
