@@ -59,14 +59,29 @@ def accelerator_backend() -> str | None:
 @lru_cache(maxsize=1)
 def tunnel_backend() -> bool:
     """True when the accelerator is reached through a remote tunnel (the
-    experimental "axon" platform): host<->device transfers then ride a
-    network relay, so stages whose output must land in host memory pay a
+    experimental "axon" relay): host<->device transfers then ride a
+    network link, so stages whose output must land in host memory pay a
     transfer cost that does not exist on a locally attached TPU. Gates
     that win on-device but lose on the fetch (e.g. the 0.227 GB/s
     bit-serial Huffman decode, 3x the host decoder data-resident, but
     tunnel-transfer-bound end-to-end) stay host-side behind a tunnel and
-    open on local TPUs."""
-    return accelerator_backend() == "axon"
+    open on local TPUs.
+
+    Detection: the axon plugin registers as plain "tpu" — the relay is
+    only visible in the client's platform_version string (and in the
+    plugin module name), so check those."""
+    if accelerator_backend() is None:
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() == "axon":
+            return True
+        dev = jax.devices()[0]
+        pv = str(getattr(dev.client, "platform_version", ""))
+        return "axon" in pv.lower()
+    except Exception:
+        return False
 
 
 def use_device(env_var: str, min_n: int = 0, n: int | None = None) -> bool:
