@@ -270,12 +270,17 @@ def _config_metrics() -> list:
     ]
     for name, algo, kind, n in cases:
         data = _synth_text(n, kind)
-        t0 = time.perf_counter()
-        c = compress(algo, data)
-        dt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        d = decompress(c)
-        ddt = time.perf_counter() - t0
+        # sub-second configs are jitter-dominated on the shared host
+        # (the tunnel relay is a co-resident process): take best of 2
+        reps = 2 if n <= (2 << 20) else 1
+        dt = ddt = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c = compress(algo, data)
+            dt = min(dt, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            d = decompress(c)
+            ddt = min(ddt, time.perf_counter() - t0)
         ok = d == data
         gbps = n / dt / 1e9
         metrics.append(
