@@ -1739,8 +1739,12 @@ int64_t tdc_lzss_lcp_factorize(const int32_t* sa, const int32_t* isa,
     // psv_lcp[j] = min lcp over (psv_j, j] where psv_j = nearest j' < j with
     // sa[j'] < sa[j]; psv_src[j] = sa[psv_j]. Stack entries carry the min
     // lcp of their segment (between the entry below and themselves).
-    std::vector<int32_t> psv_lcp(n), nsv_lcp(n);
-    std::vector<int32_t> psv_src(n), nsv_src(n);
+    // The four candidate values of SA position j live INTERLEAVED in one
+    // 16-byte group (cand[4j..4j+3] = psv_lcp, nsv_lcp, psv_src,
+    // nsv_src): the greedy walk below reads all four per visited
+    // position, so one cache line serves what four separate arrays
+    // answered with four misses.
+    std::vector<int32_t> cand((size_t)n * 4);
     {
         std::vector<int32_t> st_idx;
         std::vector<int32_t> st_min;
@@ -1752,11 +1756,11 @@ int64_t tdc_lzss_lcp_factorize(const int32_t* sa, const int32_t* isa,
                 st_min.pop_back();
             }
             if (st_idx.empty()) {
-                psv_lcp[j] = 0;
-                psv_src[j] = -1;
+                cand[4 * j] = 0;
+                cand[4 * j + 2] = -1;
             } else {
-                psv_lcp[j] = m;
-                psv_src[j] = sa[st_idx.back()];
+                cand[4 * j] = m;
+                cand[4 * j + 2] = sa[st_idx.back()];
             }
             st_idx.push_back((int32_t)j);
             st_min.push_back(m);
@@ -1775,11 +1779,11 @@ int64_t tdc_lzss_lcp_factorize(const int32_t* sa, const int32_t* isa,
                 st_min.pop_back();
             }
             if (st_idx.empty()) {
-                nsv_lcp[j] = 0;
-                nsv_src[j] = -1;
+                cand[4 * j + 1] = 0;
+                cand[4 * j + 3] = -1;
             } else {
-                nsv_lcp[j] = std::min(m, run);
-                nsv_src[j] = sa[st_idx.back()];
+                cand[4 * j + 1] = std::min(m, run);
+                cand[4 * j + 3] = sa[st_idx.back()];
             }
             // this entry's segment min: lcp between j and the element above
             st_idx.push_back((int32_t)j);
@@ -1790,14 +1794,21 @@ int64_t tdc_lzss_lcp_factorize(const int32_t* sa, const int32_t* isa,
     // for all n positions was tried and reverted: the walk visits only
     // ~20-40% of positions on repetitive inputs, so precomputing every
     // candidate tripled the random-read volume and the stage wall time.)
+    // Speculative prefetch of the literal-successor candidate hides part
+    // of the remaining two misses per step.
     int64_t nf = 0;
     for (int64_t i = 0; i + 1 < n;) {
         int32_t j = isa[i];
-        int32_t pl = psv_lcp[j], nl = nsv_lcp[j];
+        if (i + 2 < n) {
+            __builtin_prefetch(&isa[i + 1]);
+            __builtin_prefetch(&cand[4 * (size_t)isa[i + 1]]);
+        }
+        const int32_t* c = &cand[4 * (size_t)j];
+        int32_t pl = c[0], nl = c[1];
         int32_t maxl = pl >= nl ? pl : nl;  // ties prefer PSV (reference)
         if (maxl >= threshold) {
             fpos[nf] = (uint32_t)i;
-            fsrc[nf] = (uint32_t)(pl >= nl ? psv_src[j] : nsv_src[j]);
+            fsrc[nf] = (uint32_t)(pl >= nl ? c[2] : c[3]);
             flen[nf] = (uint32_t)maxl;
             ++nf;
             i += maxl;
