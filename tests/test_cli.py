@@ -164,3 +164,22 @@ def test_stats_include_memory_columns(tmp_path):
     root = doc["data"]
     assert {"memOff", "memPeak", "memFinal"} <= set(root)
     assert root["memPeak"] > 0
+
+
+def test_truncated_container_raises():
+    """A container cut off mid-stream must exit non-zero / raise, not
+    silently produce empty output (the bit reader's overran flag marks
+    reads past the valid end; headers can never legitimately do that)."""
+    import pytest
+
+    from tudocomp_tpu.driver import compress, decompress
+
+    data = b"the quick brown fox jumps over the lazy dog" * 4
+    for algo in ("lcpcomp(coder=huff)", "lzss_lcp(coder=huff)"):
+        c = compress(algo, data)
+        for cut in (len(c) // 3, len(c) // 2):
+            with pytest.raises((ValueError, AssertionError, IndexError)):
+                out = decompress(c[:cut])
+                # if no exception, at least the output must not silently
+                # be a short prefix claiming success
+                assert out == data

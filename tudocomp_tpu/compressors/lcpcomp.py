@@ -558,6 +558,8 @@ class LCPCompressor(Compressor):
 
         # stream parse (lcpcomp/decode_text_internal, LCPCompressor.hpp:24-76)
         n = dec.decode(len_r)
+        if getattr(getattr(dec, "r", None), "overran", False):
+            raise ValueError("truncated lcpcomp stream: header cut off")
         text_r = Range(n)
         flen_min = dec.decode(text_r)
         flen_max = dec.decode(text_r)
@@ -594,6 +596,12 @@ class LCPCompressor(Compressor):
             tgt = np.array(tgt_l, np.uint32)
             srcs = np.array(src_l, np.uint32)
             lens = np.array(len_l, np.uint32)
+        if cursor != n:
+            # a valid stream covers exactly n positions (lzss shared
+            # format); anything short is a truncated container
+            raise ValueError(
+                f"truncated lcpcomp stream: decoded {cursor} of {n}"
+            )
 
         with StatPhase("Decode Factors"):
             from ..device import use_device

@@ -193,6 +193,10 @@ def native_stream_parse(dec, n, flen_min, flen_max, fdist_max):
 def decode_text(dec) -> np.ndarray:
     """lzss::decode_text with DecodeBackBuffer (LZSSCoding.hpp:94-140)."""
     n = dec.decode(len_r)
+    if getattr(getattr(dec, "r", None), "overran", False):
+        # the coder's table header or the length field ran past the valid
+        # end (reads past EOF return 0 bits) — a truncated container
+        raise ValueError("truncated lzss stream: header cut off")
     text_r = Range(n)
     flen_min = dec.decode(text_r)
     flen_max = dec.decode(text_r)
@@ -205,6 +209,12 @@ def decode_text(dec) -> np.ndarray:
         from .. import native
 
         out, cursor, tgt, srcs, lens = parsed
+        if cursor != n:
+            # a valid stream reconstructs exactly n characters; anything
+            # short means the container was truncated mid-stream
+            raise ValueError(
+                f"truncated lzss stream: decoded {cursor} of {n} characters"
+            )
         native.get_lib().tdc_lzss_apply_factors(out, tgt, srcs, lens, len(tgt))
         return out[:cursor]
 
@@ -225,6 +235,10 @@ def decode_text(dec) -> np.ndarray:
                 for j in range(ln):  # overlapping copy, byte-wise
                     out[cursor + j] = out[src + j]
             cursor += ln
+    if cursor != n:
+        raise ValueError(
+            f"truncated lzss stream: decoded {cursor} of {n} characters"
+        )
     return out[:cursor]
 
 

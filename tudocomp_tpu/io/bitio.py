@@ -304,6 +304,10 @@ class BitReader:
         self._pos = 0
         self._bits_cache = None  # lazy unpacked bit array (vector paths)
         self._ones = None  # lazy: positions of 1-bits for fast unary reads
+        # set when any read crosses the valid end — streams never do this
+        # legitimately (the EOF convention bounds every decode loop), so
+        # it marks a truncated/corrupt container for the decoders to check
+        self.overran = False
 
     @property
     def _bits(self) -> np.ndarray:
@@ -323,6 +327,7 @@ class BitReader:
 
     def read_bit(self) -> int:
         if self._pos >= self._valid:
+            self.overran = True
             return 0
         p = self._pos
         self._pos = p + 1
@@ -345,6 +350,7 @@ class BitReader:
         v = (raw >> (have - span)) & ((1 << bits) - 1)
         # bits past EOF read as 0 (BitIStream.hpp:107)
         if end > self._valid:
+            self.overran = True
             over = end - max(self._valid, pos)
             if over >= bits:
                 v = 0
