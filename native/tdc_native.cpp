@@ -2943,10 +2943,12 @@ int64_t tdc_repair_build(uint32_t* text, int64_t n, int64_t max_rules,
     int64_t num_rules = 0;
     if (n > 0) {
         while (num_rules < max_rules) {
-            // count digrams
+            // count digrams; size the table for the live sequence up
+            // front (it previously started at 1k and rehash-churned on
+            // every one of the O(rules) passes)
             std::vector<uint64_t> keys;
             std::vector<int64_t> cnt;
-            HashTrie map((size_t)1024);
+            HashTrie map((size_t)std::min<int64_t>(n / 2 + 16, 1 << 21));
             uint64_t max_di = 0;
             int64_t max_count = 0;
             int64_t i = 0;
