@@ -29,5 +29,14 @@ try:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: XLA:CPU takes tens of seconds to compile
+    # each variadic lax.sort (plateaus ~42 s at >=256k elements), so the
+    # sort-heavy staged kernels (device SA, device ESP) are compiled once
+    # per machine, not once per test run
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

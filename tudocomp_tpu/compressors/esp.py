@@ -361,9 +361,11 @@ class PlainSLPCoder(Algorithm):
         return rules, root, empty
 
 
-def slp_dep_sort(rules: np.ndarray, root: int):
+def slp_dep_sort_python(rules: np.ndarray, root: int):
     """BFS dependency sort over the left-child DAG (esp/SLPDepSort.hpp):
-    renames rules so left-hand sides are monotone non-decreasing."""
+    renames rules so left-hand sides are monotone non-decreasing.
+    Reference-shaped queue walk; kept as the tested specification for the
+    vectorized version below."""
     from collections import deque
 
     R = len(rules)
@@ -391,6 +393,59 @@ def slp_dep_sort(rules: np.ndarray, root: int):
             if pair[k] > 255:
                 pair[k] = rename[pair[k] - 256] + 256
         renamed[rename[i]] = pair
+    if root > 255:
+        root = int(rename[root - 256]) + 256
+    return renamed, root
+
+
+def slp_dep_sort(rules: np.ndarray, root: int):
+    """Vectorized BFS dependency sort (identical output to
+    slp_dep_sort_python).
+
+    The left-child edges form a forest on the rules (every rule sits in
+    exactly one bucket), so BFS order is strict level order; within a
+    level the queue order is (parent's dequeue order, rule id) — a
+    lexsort per level. Dequeue orders: terminal t -> t, rule j -> 256 +
+    bfs_rank(j). Levels are materialized via a CSR adjacency built from
+    one argsort of the left-child column."""
+    R = len(rules)
+    if R == 0:
+        return rules.copy(), root
+    left = rules[:, 0].astype(np.int64)
+    order_by_left = np.argsort(left, kind="stable")
+    left_sorted = left[order_by_left]
+
+    rank = np.full(R, -1, np.int64)
+    cur = np.flatnonzero(left < 256)
+    parent_order = left[cur]
+    assigned = 0
+    while len(cur):
+        sel = cur[np.lexsort((cur, parent_order))]
+        rank[sel] = assigned + np.arange(len(sel))
+        assigned += len(sel)
+        # next frontier: children (in the left-child forest) of `sel`
+        starts = np.searchsorted(left_sorted, sel + 256, "left")
+        ends = np.searchsorted(left_sorted, sel + 256, "right")
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            break
+        # flatten the CSR ranges [starts, ends)
+        rep = np.repeat(np.arange(len(sel)), counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        cur = order_by_left[starts[rep] + offs]
+        parent_order = 256 + rank[left[cur] - 256]
+    assert assigned == R
+    rename = rank
+    renamed = np.empty_like(rules)
+    pairs = rules.astype(np.int64, copy=True)
+    for k in range(2):
+        col = pairs[:, k]
+        hi = col > 255
+        col[hi] = rename[col[hi] - 256] + 256
+    renamed[rename] = pairs.astype(rules.dtype)
     if root > 255:
         root = int(rename[root - 256]) + 256
     return renamed, root
@@ -467,10 +522,39 @@ class EspCompressor(Compressor):
         m.option("ipd").templated("ipd", "std_unordered_map")
         return m
 
+    @staticmethod
+    def _generate(data: np.ndarray):
+        """Grammar construction with the device-policy gate.
+
+        The staged device parse (ops/esp_jax.py) runs every ESP round as
+        sorts + elementwise passes on the accelerator and is bit-identical
+        to the host rounds (it re-runs the host path on its rare
+        adjust-window fallback). Default-on for locally attached TPUs at
+        sizes where the kernel win survives the PCIe transfers; opt-in
+        (TDC_DEVICE_ESP=1) behind the remote tunnel, where fetching the
+        rule arrays dominates (same policy as the device SA,
+        ds/textds.py)."""
+        import os
+
+        from ..device import tunnel_backend, use_device
+
+        n = len(data)
+        force = os.environ.get("TDC_DEVICE_ESP")
+        dev_ok = (
+            force == "1"
+            if tunnel_backend()
+            else use_device("TDC_DEVICE_ESP", min_n=1 << 21, n=n)
+        )
+        if n and dev_ok and use_device("TDC_DEVICE_ESP", n=n):
+            from ..ops.esp_jax import esp_grammar_device
+
+            return esp_grammar_device(data)
+        return generate_grammar(data)
+
     def compress(self, inp: Input, out: Output) -> None:
         data = inp.as_array()
         with StatPhase("ESP Algorithm") as ph:
-            rules, root, empty = generate_grammar(data)
+            rules, root, empty = self._generate(data)
             ph.log("SLP size", len(rules))
         with StatPhase("Encode SLP"):
             w = BitWriter()

@@ -35,7 +35,35 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
-__all__ = ["accelerator_backend", "tunnel_backend", "use_device"]
+__all__ = [
+    "accelerator_backend",
+    "ensure_compile_cache",
+    "tunnel_backend",
+    "use_device",
+]
+
+
+def ensure_compile_cache() -> None:
+    """Point JAX's persistent compile cache at a per-user cache dir.
+
+    The staged sort-heavy device kernels (SA, ESP) compile slowly —
+    XLA:CPU spends tens of seconds per variadic lax.sort and the remote
+    tunnel adds 20-400 s first-compile latency (PERF.md) — so persistent
+    caching is part of the device policy, not an optimization the caller
+    must remember. No-op when the user already configured a cache dir."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        import pathlib
+
+        cache = pathlib.Path.home() / ".cache" / "tudocomp_tpu" / "jax_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 @lru_cache(maxsize=1)
