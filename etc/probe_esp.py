@@ -64,11 +64,19 @@ def stages_only(data: np.ndarray, threshold: int) -> float:
 
 def main():
     threshold = int(os.environ.get("ESP_THRESH", 1 << 15))
-    sizes = [1 << 20, 4 << 20, 16 << 20]
+    sizes = [
+        int(s) << 20
+        for s in os.environ.get("ESP_SIZES", "1,4,16").split(",")
+    ]
+    kind_sel = os.environ.get("ESP_KINDS", "english,dna,sources").split(",")
     kinds = {
-        "english": synth_english,
-        "dna": synth_dna,
-        "sources": synth_sources,
+        k: f
+        for k, f in (
+            ("english", synth_english),
+            ("dna", synth_dna),
+            ("sources", synth_sources),
+        )
+        if k in kind_sel
     }
     for kind, synth in kinds.items():
         rng = np.random.default_rng(7)

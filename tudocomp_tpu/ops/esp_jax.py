@@ -85,81 +85,118 @@ def _mb13_starts_dev(off, r):
 
 
 def _sim_window(blk_len, blk_typ, navail):
-    """Exact 3-slot queue simulation over one ≤7-block window.
+    """Exact 3-slot queue simulation over one window (length = cap W).
 
-    Returns (out_len[7], out_typ[7], out_count). Mirrors
-    compressors/esp.py:_adjust_blocks on the window slice.
+    Returns (out_len[W], out_typ[W], out_count). Mirrors
+    compressors/esp.py:_adjust_blocks on the window slice. The queue is
+    held as six scalars (static indexing — the only per-step dynamic
+    accesses are the input gather and the output scatter), and the loop
+    is a while_loop so empty lanes cost nothing: under vmap the batched
+    while runs only until the widest live span drains.
     """
 
     W = blk_len.shape[0]
 
-    def step(_, st):
-        q_len, q_typ, qn, ip, op, out_len, out_typ = st
+    def cond(st):
+        qn, ip = st[6], st[7]
+        return (qn > 0) | (ip < navail)
+
+    def body(st):
+        l0, l1, l2, t0, t1, t2, qn, ip, op, out_len, out_typ = st
         can_fill = (qn < 3) & (ip < navail)
-        # merge candidacy on the current queue
-        slot = jnp.arange(3)
-        any1 = jnp.any((q_len == 1) & (slot < qn))
-
-        def needs(i, j):
-            return (q_len[i] == 1) | (q_len[j] == 1)
-
-        cond_a = (qn == 3) & any1 & needs(1, 2) & (q_typ[1] == 2) & (q_typ[2] == 2)
-        cond_b = (qn >= 2) & any1 & needs(0, 1) & (q_typ[0] == 2) & (q_typ[1] == 2)
-        cond_c = (qn >= 2) & any1 & needs(0, 1) & (q_typ[0] == 3)
-        cond_d = (qn >= 2) & any1 & needs(0, 1) & ((q_typ[0] == 1) | (q_typ[1] == 1))
+        any1 = ((l0 == 1) & (qn > 0)) | ((l1 == 1) & (qn > 1)) | ((l2 == 1) & (qn > 2))
+        n01 = (l0 == 1) | (l1 == 1)
+        n12 = (l1 == 1) | (l2 == 1)
+        cond_a = (qn == 3) & any1 & n12 & (t1 == 2) & (t2 == 2)
+        cond_b = (qn >= 2) & any1 & n01 & (t0 == 2) & (t1 == 2)
+        cond_c = (qn >= 2) & any1 & n01 & (t0 == 3)
+        cond_d = (qn >= 2) & any1 & n01 & ((t0 == 1) | (t1 == 1))
         cond_bcd = (~cond_a) & (cond_b | cond_c | cond_d)
         mtyp = jnp.where(cond_b, 2, jnp.where(cond_c, 3, 1)).astype(jnp.int32)
         # fill takes priority; the count updates below are independent
         # where()s, so the merge flag must be masked out explicitly
         can_merge = (cond_a | cond_bcd) & ~can_fill
-        mi = jnp.where(cond_a, 1, 0)  # merge slots (mi, mi+1)
         mt = jnp.where(cond_a, 2, mtyp)
         can_pop = (~can_fill) & (~can_merge) & (qn > 0)
 
-        # --- fill
-        f_len = jnp.where(slot == qn, blk_len[jnp.clip(ip, 0, W - 1)], q_len)
-        f_typ = jnp.where(slot == qn, blk_typ[jnp.clip(ip, 0, W - 1)], q_typ)
+        # --- fill (slot qn gets blk[ip])
+        ipc = jnp.clip(ip, 0, W - 1)
+        bl = blk_len[ipc]
+        bt = blk_typ[ipc]
+        f_l0 = jnp.where(qn == 0, bl, l0)
+        f_t0 = jnp.where(qn == 0, bt, t0)
+        f_l1 = jnp.where(qn == 1, bl, l1)
+        f_t1 = jnp.where(qn == 1, bt, t1)
+        f_l2 = jnp.where(qn == 2, bl, l2)
+        f_t2 = jnp.where(qn == 2, bt, t2)
 
-        # --- merge
-        s = q_len[mi] + q_len[mi + 1]
+        # --- merge at (mi, mi+1): mi = 1 for cond_a else 0
+        s = jnp.where(cond_a, l1 + l2, l0 + l1)
         small = (s == 2) | (s == 3)
-        # small: q[mi] = [s, mt], remove q[mi+1] (shift down)
-        rm_len = jnp.where(slot == mi, s, jnp.where(slot > mi, jnp.roll(q_len, -1), q_len))
-        rm_typ = jnp.where(slot == mi, mt, jnp.where(slot > mi, jnp.roll(q_typ, -1), q_typ))
-        # big (s==4): q[mi] = q[mi+1] = [2, mt]
-        bg_len = jnp.where((slot == mi) | (slot == mi + 1), 2, q_len)
-        bg_typ = jnp.where((slot == mi) | (slot == mi + 1), mt, q_typ)
-        m_len = jnp.where(small, rm_len, bg_len)
-        m_typ = jnp.where(small, rm_typ, bg_typ)
+        # small, mi=0: [s, l2, *]; small, mi=1: [l0, s, *]
+        sm_l0 = jnp.where(cond_a, l0, s)
+        sm_t0 = jnp.where(cond_a, t0, mt)
+        sm_l1 = jnp.where(cond_a, s, l2)
+        sm_t1 = jnp.where(cond_a, mt, t2)
+        # big (s==4), mi=0: [2, 2, l2]; mi=1: [l0, 2, 2]
+        bg_l0 = jnp.where(cond_a, l0, 2)
+        bg_t0 = jnp.where(cond_a, t0, mt)
+        bg_l1 = jnp.int32(2)
+        bg_t1 = mt
+        bg_l2 = jnp.where(cond_a, 2, l2)
+        bg_t2 = jnp.where(cond_a, mt, t2)
+        m_l0 = jnp.where(small, sm_l0, bg_l0)
+        m_t0 = jnp.where(small, sm_t0, bg_t0)
+        m_l1 = jnp.where(small, sm_l1, bg_l1)
+        m_t1 = jnp.where(small, sm_t1, bg_t1)
+        m_l2 = jnp.where(small, l2, bg_l2)
+        m_t2 = jnp.where(small, t2, bg_t2)
 
-        # --- pop
-        p_len = jnp.roll(q_len, -1)
-        p_typ = jnp.roll(q_typ, -1)
-        o_len = out_len.at[jnp.clip(op, 0, W - 1)].set(
-            jnp.where(can_pop, q_len[0], out_len[jnp.clip(op, 0, W - 1)])
-        )
-        o_typ = out_typ.at[jnp.clip(op, 0, W - 1)].set(
-            jnp.where(can_pop, q_typ[0], out_typ[jnp.clip(op, 0, W - 1)])
-        )
+        # --- pop (emit q0, shift down)
+        opc = jnp.clip(op, 0, W - 1)
+        out_len = out_len.at[opc].set(jnp.where(can_pop, l0, out_len[opc]))
+        out_typ = out_typ.at[opc].set(jnp.where(can_pop, t0, out_typ[opc]))
 
-        q_len = jnp.where(can_fill, f_len, jnp.where(can_merge, m_len, jnp.where(can_pop, p_len, q_len)))
-        q_typ = jnp.where(can_fill, f_typ, jnp.where(can_merge, m_typ, jnp.where(can_pop, p_typ, q_typ)))
-        qn = qn + jnp.where(can_fill, 1, 0) - jnp.where(can_merge & small, 1, 0) - jnp.where(can_pop, 1, 0)
+        def sel(f, m, p, cur):
+            return jnp.where(
+                can_fill, f, jnp.where(can_merge, m, jnp.where(can_pop, p, cur))
+            )
+
+        n_l0 = sel(f_l0, m_l0, l1, l0)
+        n_t0 = sel(f_t0, m_t0, t1, t0)
+        n_l1 = sel(f_l1, m_l1, l2, l1)
+        n_t1 = sel(f_t1, m_t1, t2, t1)
+        n_l2 = sel(f_l2, m_l2, l2, l2)
+        n_t2 = sel(f_t2, m_t2, t2, t2)
+        qn = (
+            qn
+            + jnp.where(can_fill, 1, 0)
+            - jnp.where(can_merge & small, 1, 0)
+            - jnp.where(can_pop, 1, 0)
+        )
         ip = ip + jnp.where(can_fill, 1, 0)
         op = op + jnp.where(can_pop, 1, 0)
-        return (q_len, q_typ, qn, ip, op, o_len, o_typ)
+        return (n_l0, n_l1, n_l2, n_t0, n_t1, n_t2, qn, ip, op, out_len, out_typ)
 
+    z = jnp.int32(0)
     init = (
-        jnp.zeros(3, jnp.int32),
-        jnp.zeros(3, jnp.int32),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
+        z, z, z, z, z, z, z, z, z,
         jnp.zeros(W, jnp.int32),
         jnp.zeros(W, jnp.int32),
     )
-    st = lax.fori_loop(0, 3 * W, step, init)
-    return st[5], st[6], st[4]
+    if W <= 16:
+        # partially unrolled scan: a batched while_loop costs ~3 ms *per
+        # iteration* in dispatch/mask overhead on TPU, while a full 3*W
+        # unroll explodes XLA compile time — scan(unroll=8) fuses 8 steps
+        # per dispatch at 1/6 of the full-unroll graph. Extra steps after
+        # a lane drains are no-ops (state is stable).
+        def sbody(st, _):
+            return body(st), None
+
+        st, _ = lax.scan(sbody, init, None, length=3 * W, unroll=8)
+    else:
+        st = lax.while_loop(cond, body, init)
+    return st[9], st[10], st[8]
 
 
 _W1 = 16  # narrow-span window width (covers the typical merged span)
@@ -169,8 +206,7 @@ _W2 = 128  # wide-span window width (p100 on measured corpora is 77)
 def _tier_sim(lens, typs, ws_arr, na_arr, W):
     """Gather each span's blocks and run the queue machine (vmapped).
 
-    Returns (replaced_tgt [cap, W] scatter targets, out_len, out_typ,
-    major/minor splice keys)."""
+    Returns (unused, out_len, out_typ, major/minor splice keys)."""
     size = lens.shape[0]
     j = jnp.arange(W, dtype=jnp.int32)
     gidx = jnp.clip(ws_arr[:, None] + j[None, :], 0, size - 1)
@@ -178,11 +214,10 @@ def _tier_sim(lens, typs, ws_arr, na_arr, W):
     wtyp = jnp.take(typs, gidx, axis=0)
     out_len, out_typ, out_cnt = jax.vmap(_sim_window)(wlen, wtyp, na_arr)
     live = na_arr > 0
-    rep_tgt = jnp.where(live[:, None] & (j[None, :] < na_arr[:, None]), gidx, size)
     wo_valid = live[:, None] & (j[None, :] < out_cnt[:, None])
     major = jnp.where(wo_valid, ws_arr[:, None], _I32MAX)
     minor = jnp.broadcast_to(j[None, :], major.shape)
-    return rep_tgt, out_len, out_typ, major, minor
+    return None, out_len, out_typ, major, minor
 
 
 def _adjust_dev(lens, typs, nb, nw_cap=None):
@@ -191,75 +226,88 @@ def _adjust_dev(lens, typs, nb, nw_cap=None):
     Identity outside merged ±3-block spans around length-1 blocks; exact
     queue simulation inside. Spans are unions of overlapping [i-3, i+4)
     windows (the same construction as ops/esp_vec._adjust_vec); narrow
-    spans (≤16 blocks, the common case) and wide spans (≤128) run in two
-    vmapped tiers. Over-wide spans or cap overflow set the fallback flag."""
+    spans (≤16 blocks, the common case) run as an unrolled vmapped tier,
+    wide spans (≤128) as a batched while tier. Cap overflow or over-wide
+    spans set the fallback flag. The whole machinery sits behind a
+    lax.cond: rounds without length-1 blocks (most rounds past the first)
+    pay only the ones-count reduction and one sort."""
     size = lens.shape[0]
-    NS = size // 32 + 8  # span cap (ones density ≥ 1/15 never seen)
+    OC = size // 12 + 8  # compacted ones cap (max measured density 1/15)
+    NS = OC  # span cap (spans ≤ ones)
     CAP2 = size // 512 + 8  # wide-span cap
     bidx = jnp.arange(size, dtype=jnp.int32)
     valid = bidx < nb
     is_one = valid & (lens == 1)
     n_ones = jnp.sum(is_one.astype(jnp.int32))
-    # sorted one-positions (padding sorts last)
-    okey = jnp.where(is_one, bidx, _I32MAX)
-    opos = lax.sort(okey)
-    one_valid = opos < _I32MAX
-    prev_o = _shift_right(opos, jnp.int32(-(1 << 30)))
-    head = one_valid & ((bidx == 0) | (opos - prev_o >= 7))
-    sid = jnp.cumsum(head.astype(jnp.int32)) - 1
-    ns = jnp.sum(head.astype(jnp.int32))
-    slot = jnp.where(one_valid & (sid < NS), sid, NS)
-    ws = jnp.zeros(NS + 1, jnp.int32).at[jnp.where(head, slot, NS)].set(opos - 3)[:NS]
-    we = jnp.zeros(NS + 1, jnp.int32).at[slot].max(opos + 4)[:NS]
-    span_valid = jnp.arange(NS, dtype=jnp.int32) < ns
-    ws_c = jnp.where(span_valid, jnp.maximum(ws, 0), 0)
-    we_c = jnp.where(span_valid, jnp.minimum(we, nb), 0)
-    width = we_c - ws_c
 
-    small = span_valid & (width <= _W1)
-    big = span_valid & (width > _W1)
-    n2 = jnp.sum(big.astype(jnp.int32))
-    fallback = (ns > NS) | (n2 > CAP2) | jnp.any(width > _W2)
+    def no_ones(_):
+        return lens, typs, nb, jnp.bool_(False)
 
-    # route spans into tier lane arrays
-    t1 = jnp.cumsum(small.astype(jnp.int32)) - 1
-    t2 = jnp.cumsum(big.astype(jnp.int32)) - 1
-    ws1 = jnp.zeros(NS + 1, jnp.int32).at[jnp.where(small, t1, NS)].set(ws_c)[:NS]
-    na1 = jnp.zeros(NS + 1, jnp.int32).at[jnp.where(small, t1, NS)].set(width)[:NS]
-    ws2 = jnp.zeros(CAP2 + 1, jnp.int32).at[jnp.where(big & (t2 < CAP2), t2, CAP2)].set(ws_c)[:CAP2]
-    na2 = jnp.zeros(CAP2 + 1, jnp.int32).at[jnp.where(big & (t2 < CAP2), t2, CAP2)].set(
-        jnp.minimum(width, _W2)
-    )[:CAP2]
+    def with_ones(_):
+        # compacted sorted one-positions (padding sorts last)
+        okey = jnp.where(is_one, bidx, _I32MAX)
+        opos = lax.sort(okey)[:OC]
+        oi = jnp.arange(OC, dtype=jnp.int32)
+        one_valid = opos < _I32MAX
+        prev_o = _shift_right(opos, jnp.int32(-(1 << 30)))
+        head = one_valid & ((oi == 0) | (opos - prev_o >= 7))
+        sid = jnp.cumsum(head.astype(jnp.int32)) - 1
+        ns = jnp.sum(head.astype(jnp.int32))
+        slot = jnp.where(one_valid, jnp.minimum(sid, NS), NS)
+        ws = jnp.zeros(NS + 1, jnp.int32).at[jnp.where(head, slot, NS)].set(opos - 3)[:NS]
+        we = jnp.zeros(NS + 1, jnp.int32).at[slot].max(opos + 4)[:NS]
+        span_valid = jnp.arange(NS, dtype=jnp.int32) < ns
+        ws_c = jnp.where(span_valid, jnp.maximum(ws, 0), 0)
+        we_c = jnp.where(span_valid, jnp.minimum(we, nb), 0)
+        width = we_c - ws_c
 
-    rep1, ol1, ot1, maj1, min1 = _tier_sim(lens, typs, ws1, na1, _W1)
-    rep2, ol2, ot2, maj2, min2 = _tier_sim(lens, typs, ws2, na2, _W2)
+        small = span_valid & (width <= _W1)
+        big = span_valid & (width > _W1)
+        n2 = jnp.sum(big.astype(jnp.int32))
+        fallback = (n_ones > OC) | (n2 > CAP2) | jnp.any(width > _W2)
 
-    replaced = jnp.zeros(size + 1, jnp.bool_)
-    replaced = replaced.at[rep1.reshape(-1)].set(True)
-    replaced = replaced.at[rep2.reshape(-1)].set(True)[:size]
+        # route spans into tier lane arrays
+        t1 = jnp.cumsum(small.astype(jnp.int32)) - 1
+        t2 = jnp.cumsum(big.astype(jnp.int32)) - 1
+        ws1 = jnp.zeros(NS + 1, jnp.int32).at[jnp.where(small, t1, NS)].set(ws_c)[:NS]
+        na1 = jnp.zeros(NS + 1, jnp.int32).at[jnp.where(small, t1, NS)].set(width)[:NS]
+        ws2 = jnp.zeros(CAP2 + 1, jnp.int32).at[jnp.where(big & (t2 < CAP2), t2, CAP2)].set(ws_c)[:CAP2]
+        na2 = jnp.zeros(CAP2 + 1, jnp.int32).at[jnp.where(big & (t2 < CAP2), t2, CAP2)].set(
+            jnp.minimum(width, _W2)
+        )[:CAP2]
 
-    # splice with a (major, minor) 2-key sort: identity block b -> (b, 0),
-    # span outputs -> (span start, j); spans are disjoint and replace
-    # their whole [ws, we) range, so majors never collide across sources
-    id_major = jnp.where(valid & ~replaced, bidx, _I32MAX)
-    id_minor = jnp.zeros(size, jnp.int32)
-    majors = jnp.concatenate([id_major, maj1.reshape(-1), maj2.reshape(-1)])
-    minors = jnp.concatenate([id_minor, min1.reshape(-1), min2.reshape(-1)])
-    vlen = jnp.concatenate([lens, ol1.reshape(-1), ol2.reshape(-1)])
-    vtyp = jnp.concatenate([typs, ot1.reshape(-1), ot2.reshape(-1)])
-    smaj, _, slen, styp = lax.sort((majors, minors, vlen, vtyp), num_keys=2)
-    new_nb = jnp.sum((majors < _I32MAX).astype(jnp.int32))
-    return slen[:size], styp[:size], new_nb, fallback
+        _rep1, ol1, ot1, maj1, min1 = _tier_sim(lens, typs, ws1, na1, _W1)
+        _rep2, ol2, ot2, maj2, min2 = _tier_sim(lens, typs, ws2, na2, _W2)
+
+        # replaced = inside the span union = within 3 blocks of a one
+        # (scan formulation — no scatters)
+        prev_one = lax.cummax(jnp.where(is_one, bidx, jnp.int32(-(1 << 30))))
+        next_neg = lax.cummax(jnp.flip(jnp.where(is_one, -bidx, jnp.int32(-(1 << 30)))))
+        next_one = -jnp.flip(next_neg)
+        replaced = valid & ((bidx - prev_one <= 3) | (next_one - bidx <= 3))
+
+        # splice with a (major, minor) 2-key sort: identity block b ->
+        # (b, 0), span outputs -> (span start, j); spans are disjoint and
+        # replace their whole [ws, we) range, so majors never collide
+        id_major = jnp.where(valid & ~replaced, bidx, _I32MAX)
+        id_minor = jnp.zeros(size, jnp.int32)
+        majors = jnp.concatenate([id_major, maj1.reshape(-1), maj2.reshape(-1)])
+        minors = jnp.concatenate([id_minor, min1.reshape(-1), min2.reshape(-1)])
+        vlen = jnp.concatenate([lens, ol1.reshape(-1), ol2.reshape(-1)])
+        vtyp = jnp.concatenate([typs, ot1.reshape(-1), ot2.reshape(-1)])
+        smaj, _, slen, styp = lax.sort((majors, minors, vlen, vtyp), num_keys=2)
+        new_nb = jnp.sum((majors < _I32MAX).astype(jnp.int32))
+        return slen[:size], styp[:size], new_nb, fallback
+
+    return lax.cond(n_ones > 0, with_ones, no_ones, None)
 
 
 # ---------------------------------------------------------------------------
 # one full round at a static padded size
 
 
-def _round_body(src, m, alphabet, *, size, nw_cap):
-    """One ESP round. src: [size] i32 (valid prefix m). Returns
-    (nxt [size//2] i32, nb, rl [size] i32, rr [size] i32, K, fallback)."""
-    half = size // 2
+def _stage_blocks(src, m, alphabet, *, size):
+    """Pre-adjust block computation: returns (lens, types, nb)."""
     i = jnp.arange(size, dtype=jnp.int32)
     inb = i < m
     t = _iter_log_dev(alphabet)
@@ -342,12 +390,19 @@ def _round_body(src, m, alphabet, *, size, nw_cap):
     nb = jnp.sum(is_start.astype(jnp.int32))
     nxt_pos = jnp.minimum(_shift_left(bpos_s, _I32MAX), m)
     lens = jnp.where(bpos_s < _I32MAX, nxt_pos - bpos_s, 0).astype(jnp.int32)
+    return lens, btyp_s, nb
 
-    # --- adjust
-    lens, typs, nb, fallback = _adjust_dev(lens, btyp_s, nb, nw_cap)
 
-    # --- naming (sorted first-appearance ranks)
-    bi = jnp.arange(size, dtype=jnp.int32)
+def _stage_naming(src, m, alphabet, lens, typs, nb, *, size):
+    """GrammarRules naming by sorted first-appearance ranks.
+
+    Works on half-size block arrays — every post-adjust block spans ≥2
+    symbols, so nb ≤ m/2 ≤ size/2 — which halves every sort and scatter.
+    Returns (nxt [size//2], rl [size], rr [size], K)."""
+    half = size // 2
+    H = half
+    lens = lens[:H]
+    bi = jnp.arange(H, dtype=jnp.int32)
     bvalid2 = bi < nb
     bpos = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(lens)[:-1]]).astype(jnp.int32)
     is3 = bvalid2 & (lens == 3)
@@ -358,19 +413,15 @@ def _round_body(src, m, alphabet, *, size, nw_cap):
     gb = jnp.where(bvalid2, src[jnp.clip(bpos + 1, 0, size - 1)], _I32MAX)
     gc = src[jnp.clip(bpos + 2, 0, size - 1)]
 
-    # inner groups: sort blocks by (a, b, call)
+    # inner groups: sort blocks by (a, b, call). Groups are contiguous in
+    # sorted order with the head holding the minimal call, so per-group
+    # values propagate by cummax — no compaction scatters needed.
     sa, sb, sbase, sblk = lax.sort((ga, gb, base, bi), num_keys=3)
     head = (bi == 0) | (sa != _shift_right(sa, -1)) | (sb != _shift_right(sb, -1))
     head &= sa < _I32MAX
     gid_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
-    Ki = jnp.sum(head.astype(jnp.int32))
-    # per-group first call + key contents (group heads have the min call)
-    hslot = jnp.where(head, gid_sorted, size)
-    first_inner = jnp.zeros(size + 1, jnp.int32).at[hslot].set(sbase)[:size]
-    ha = jnp.zeros(size + 1, jnp.int32).at[hslot].set(sa)[:size]
-    hb = jnp.zeros(size + 1, jnp.int32).at[hslot].set(sb)[:size]
     # inner group id per block (scatter back through the sort permutation)
-    inv_inner = jnp.zeros(size + 1, jnp.int32).at[jnp.where(sa < _I32MAX, sblk, size)].set(gid_sorted)[:size]
+    inv_inner = jnp.zeros(H + 1, jnp.int32).at[jnp.where(sa < _I32MAX, sblk, H)].set(gid_sorted)[:H]
 
     # outer groups for 3-blocks: key (inner gid, c)
     oga = jnp.where(is3, inv_inner, _I32MAX)
@@ -378,43 +429,60 @@ def _round_body(src, m, alphabet, *, size, nw_cap):
     oa, oc, obase, oblk = lax.sort((oga, ogc, base + 1, bi), num_keys=3)
     ohead = ((bi == 0) | (oa != _shift_right(oa, -1)) | (oc != _shift_right(oc, -1))) & (oa < _I32MAX)
     ogid = jnp.cumsum(ohead.astype(jnp.int32)) - 1
-    Ko = jnp.sum(ohead.astype(jnp.int32))
-    ohslot = jnp.where(ohead, ogid, size)
-    first_outer = jnp.zeros(size + 1, jnp.int32).at[ohslot].set(obase)[:size]
-    oha = jnp.zeros(size + 1, jnp.int32).at[ohslot].set(oa)[:size]
-    ohc = jnp.zeros(size + 1, jnp.int32).at[ohslot].set(oc)[:size]
-    inv_outer = jnp.zeros(size + 1, jnp.int32).at[jnp.where(oa < _I32MAX, oblk, size)].set(ogid)[:size]
+    inv_outer = jnp.zeros(H + 1, jnp.int32).at[jnp.where(oa < _I32MAX, oblk, H)].set(ogid)[:H]
 
-    # rank first-appearances over both levels
-    fi = jnp.where(bi < Ki, first_inner, _I32MAX)
-    fo = jnp.where(bi < Ko, first_outer, _I32MAX)
+    # rank first-appearances over both levels in one sort that carries the
+    # rule content: after sorting by first-call position, row r IS rule r.
+    # A group's first call is its head's own base (groups sort by call
+    # within the key), so heads carry it directly.
+    fi = jnp.where(head, sbase, _I32MAX)
+    fo = jnp.where(ohead, obase, _I32MAX)
     firsts = jnp.concatenate([fi, fo])
-    tag = jnp.arange(2 * size, dtype=jnp.int32)
-    sf, stag = lax.sort((firsts, tag), num_keys=1)
-    ranks = jnp.zeros(2 * size + 1, jnp.int32).at[
-        jnp.where(sf < _I32MAX, stag, 2 * size)
-    ].set(jnp.arange(2 * size, dtype=jnp.int32))[: 2 * size]
-    id_inner = ranks[:size]
-    id_outer = ranks[size:]
+    isout = jnp.concatenate(
+        [jnp.zeros(H, jnp.int32), jnp.ones(H, jnp.int32)]
+    )
+    ca = jnp.concatenate([sa, oa])  # inner: symbol a; outer: ref inner gid
+    cb = jnp.concatenate([sb, oc])
+    cg = jnp.concatenate([gid_sorted, ogid])
+    sf, souts, sca, scb, scg = lax.sort(
+        (firsts, isout, ca, cb, cg), num_keys=1
+    )
+    K = jnp.sum((firsts < _I32MAX).astype(jnp.int32))
+    r = jnp.arange(2 * H, dtype=jnp.int32)
+    rvalid = sf < _I32MAX
+    # group -> rule id table (inner groups at [0, H), outer at [H, 2H))
+    idtab = jnp.zeros(2 * H + 1, jnp.int32).at[
+        jnp.where(rvalid, scg + souts * H, 2 * H)
+    ].set(r)[: 2 * H]
 
-    # rules content
-    K = Ki + Ko
-    rl = jnp.zeros(size + 1, jnp.int32)
-    rr = jnp.zeros(size + 1, jnp.int32)
-    islot = jnp.where(bi < Ki, id_inner, size)
-    rl = rl.at[islot].set(ha)
-    rr = rr.at[islot].set(hb)
-    oslot = jnp.where(bi < Ko, id_outer, size)
-    x = id_inner[jnp.clip(oha, 0, size - 1)]
-    rl = rl.at[oslot].set(alphabet + x)
-    rr = rr.at[oslot].set(ohc)
-    rl = rl[:size]
-    rr = rr[:size]
+    # rules content in id order (K ≤ 2H = size rows, all up front)
+    rl_s = jnp.where(
+        souts == 1,
+        alphabet + idtab[jnp.clip(sca, 0, H - 1)],
+        sca,
+    )
+    rl = jnp.where(rvalid, rl_s, 0)
+    rr = jnp.where(rvalid, scb, 0)
 
     # next string: id of the last call per block
-    nxt_full = jnp.where(is3, id_outer[jnp.clip(inv_outer, 0, size - 1)], id_inner[jnp.clip(inv_inner, 0, size - 1)])
-    nxt_full = jnp.where(bvalid2, nxt_full, 0)
-    nxt = nxt_full[:half]
+    id_inner_g = idtab[:H]
+    id_outer_g = idtab[H:]
+    nxt = jnp.where(
+        is3,
+        id_outer_g[jnp.clip(inv_outer, 0, H - 1)],
+        id_inner_g[jnp.clip(inv_inner, 0, H - 1)],
+    )
+    nxt = jnp.where(bvalid2, nxt, 0)
+    return nxt, rl, rr, K
+
+
+def _round_body(src, m, alphabet, *, size, nw_cap):
+    """One ESP round. src: [size] i32 (valid prefix m). Returns
+    (nxt [size//2] i32, nb, rl [size] i32, rr [size] i32, K, fallback)."""
+    half = size // 2
+    lens, typs, nb = _stage_blocks(src, m, alphabet, size=size)
+    lens, typs, nb, fallback = _adjust_dev(lens, typs, nb, nw_cap)
+    nxt, rl, rr, K = _stage_naming(src, m, alphabet, lens, typs, nb, size=size)
 
     # pass-through gate for m <= 1 (round must not run; mirrors the host
     # loop stopping at length 1)
@@ -441,6 +509,9 @@ def _round_jit_batch(size: int, nw_cap: int):
 def esp_round_device_batch(srcs, alphabets):
     """Batched single-round entry (testing): many same-padded-size strings
     in one dispatch. Returns a list of (nxt, rl, rr) / None per input."""
+    from ..device import ensure_compile_cache
+
+    ensure_compile_cache()
     size = 8
     mx = max(len(s) for s in srcs)
     while size < mx:
@@ -474,6 +545,9 @@ def esp_round_device(src: np.ndarray, alphabet: int):
 
     Returns (nxt, rl, rr) or None if the round hit the window-fallback.
     """
+    from ..device import ensure_compile_cache
+
+    ensure_compile_cache()
     m = len(src)
     size = 8
     while size < m:
